@@ -1,0 +1,92 @@
+"""Codec configuration.
+
+The C reference threads its configuration through context constructors as three
+positional knobs: ``block_size`` (reference ``dct.c:7``, ``quantization.c:19``),
+``quality`` clamped to [1, 100] (``quantization.c:26-31``), ``adaptive`` 0/1
+(``quantization.h:23``) and ``use_huffman`` 0/1 (``entropy.c:128-130``).
+
+Here the whole configuration is one frozen dataclass, hashable so it can be a
+static argument to ``jax.jit``. All derived constant arrays (DCT basis, quant
+tables, zigzag permutation, fused encode/decode matrices) are pure functions of
+this config — see :mod:`dct_tpu.tables`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+HuffmanMode = Literal["category", "direct", "none"]
+ChromaMode = Literal["gray", "444", "420"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Full configuration of the codec pipeline.
+
+    Attributes:
+      block_size: transform block size N (the reference supports arbitrary N
+        with a synthetic radial quant table for N != 8, ``quantization.c:81-95``).
+      quality: JPEG-style quality in [1, 100]; values outside are clamped,
+        matching ``quantization.c:26-31``.
+      adaptive: per-block variance-adaptive quantization
+        (``quantization.c:171-211``).
+      use_huffman: Huffman-code the RLE values; if False, fixed 16+8-bit
+        symbols (the reference's non-Huffman size accounting,
+        ``entropy.c:395``).
+      huffman_mode: how values are entropy-coded in the *real* bitstream (the
+        reference never emits bits — SURVEY.md B2):
+          * ``"category"`` — JPEG-style magnitude-category + extra bits.
+            Bounded alphabet, per-image canonical table. Default.
+          * ``"direct"`` — canonical Huffman over the observed value alphabet.
+            Closest to the reference's per-value code table
+            (``entropy.c:261-328``).
+          * ``"none"`` — fixed-length 16-bit values.
+        Run lengths are always fixed 8 bits (reference convention,
+        ``entropy.c:390``).
+      compat_b1: reproduce reference bug B1 — the non-adaptive dequantize
+        multiplies by ``1/q`` instead of ``q`` (``quantization.c:144`` with the
+        reciprocal table from ``quantization.c:106``). Off by default; the
+        default path uses the mathematically correct dequantization.
+      chroma: color handling — ``"gray"`` single plane, ``"444"`` YCbCr
+        full-resolution chroma, ``"420"`` 2x2-subsampled chroma.
+      stripe_rows: number of *block rows* per bitstream stripe. Stripes are
+        the unit of parallel/sharded entropy coding and of decode
+        parallelism; the serialized container stores one byte-aligned
+        substream per stripe, so output bits are identical for any device
+        mesh (SURVEY.md section 5.8).
+      dtype: compute dtype for the transform matmuls. float32 keeps the
+        quantized integer outputs exact w.r.t. the float64 C oracle for all
+        8-bit inputs (verified by tests/test_parity.py).
+    """
+
+    block_size: int = 8
+    quality: int = 50
+    adaptive: bool = False
+    use_huffman: bool = True
+    huffman_mode: HuffmanMode = "category"
+    compat_b1: bool = False
+    chroma: ChromaMode = "gray"
+    stripe_rows: int = 1
+    dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.block_size < 2:
+            raise ValueError(f"block_size must be >= 2, got {self.block_size}")
+        # Reference clamps rather than rejects (quantization.c:26-31).
+        q = min(100, max(1, int(self.quality)))
+        object.__setattr__(self, "quality", q)
+
+    @property
+    def n(self) -> int:
+        return self.block_size
+
+    @property
+    def n2(self) -> int:
+        return self.block_size * self.block_size
+
+    def replace(self, **kw) -> "CodecConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = CodecConfig()

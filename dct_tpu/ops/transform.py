@@ -1,0 +1,176 @@
+"""Batched 2D DCT / IDCT and the fused encode/decode front-ends.
+
+Reference behavior being reimplemented (not translated):
+  * forward DCT ``D @ X @ D.T`` — dct.c:52-74 (two N^3 loops per block)
+  * inverse DCT ``D.T @ X @ D`` — dct.c:80-105
+  * level shift -128 — dct.c:115; +128 and [0,255] clamp on decode —
+    test_entropy.c:377-380
+  * coefficient rounding — copy_block_to_coefficients, dct.c:123-129, which
+    uses C ``round()`` = round-half-AWAY-from-zero (not banker's rounding).
+
+TPU design: blocks are a batch axis, never a loop. Two paths:
+  * ``dct2``/``idct2`` — einsum on (B, N, N), the always-correct float
+    transform (used for float-domain tests and the public transform API).
+  * ``encode_blocks``/``decode_blocks`` — the fused single-matmul path over
+    (B, N^2) using the Kronecker operators from dct_tpu.tables; this is the
+    production encode/decode front-end and what the Pallas kernel implements.
+
+All matmuls run at ``jax.lax.Precision.HIGHEST`` so float32 on the MXU is
+accurate enough to match the float64 C oracle after integer rounding
+(verified in tests/test_parity.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu.config import CodecConfig
+from dct_tpu import tables
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def round_half_away(x: jax.Array) -> jax.Array:
+    """C ``round()`` semantics: round half away from zero.
+
+    ``jnp.round`` rounds half to even; the reference rounds 0.5 -> 1,
+    -0.5 -> -1 (dct.c:126, quantization.c:124). floor(|x| + 0.5) with the
+    sign restored reproduces that exactly.
+    """
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def dct2(blocks: jax.Array, block_size: int | None = None) -> jax.Array:
+    """Forward 2D DCT on a batch of blocks, shape (..., N, N).
+
+    Equivalent to the reference's dct_forward (dct.c:52-74): D @ X @ D.T per
+    block, but batched as one einsum so XLA maps it onto the MXU.
+    """
+    n = blocks.shape[-1] if block_size is None else block_size
+    d = jnp.asarray(tables.dct_basis(n), dtype=blocks.dtype)
+    return jnp.einsum("ik,...kl,jl->...ij", d, blocks, d, precision=_PREC)
+
+
+def idct2(coeffs: jax.Array, block_size: int | None = None) -> jax.Array:
+    """Inverse 2D DCT, shape (..., N, N): D.T @ Y @ D (dct.c:80-105)."""
+    n = coeffs.shape[-1] if block_size is None else block_size
+    d = jnp.asarray(tables.dct_basis(n), dtype=coeffs.dtype)
+    return jnp.einsum("ki,...kl,lj->...ij", d, coeffs, d, precision=_PREC)
+
+
+def level_shift(pixels: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """u8 pixels -> centered floats: x - 128 (dct.c:115)."""
+    return pixels.astype(dtype) - jnp.asarray(128.0, dtype)
+
+
+def level_unshift(x: jax.Array) -> jax.Array:
+    """Centered floats -> u8 pixels: round(x) + 128 clamped to [0, 255]
+    (test_entropy.c:377-380 clamps after +128)."""
+    y = round_half_away(x) + 128.0
+    return jnp.clip(y, 0.0, 255.0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Fused single-matmul encode/decode front-ends
+# ---------------------------------------------------------------------------
+
+
+def encode_blocks(
+    pixels_flat: jax.Array,
+    cfg: CodecConfig,
+    block_variance: jax.Array | None = None,
+    chroma: bool = False,
+) -> jax.Array:
+    """Raw pixel blocks -> quantized zigzag coefficients, one fused matmul.
+
+    Args:
+      pixels_flat: (B, N^2) row-major-flattened blocks, u8 or float (raw
+        pixel values, NOT level-shifted; the shift is folded into the bias).
+      cfg: codec config (quality, adaptive, ...).
+      block_variance: (B,) per-block pixel variance, required when
+        cfg.adaptive. Computed on the *level-shifted* block, matching
+        test_entropy.c:315 which passes the shifted block to
+        calculate_block_variance.
+      chroma: use the chrominance quant table (color extension).
+
+    Returns:
+      (B, N^2) int32 quantized coefficients in zigzag order.
+
+    Fuses dct.c:115 + dct.c:52-74 + entropy.c:158-181 + quantization.c:113-131
+    into ``round((x @ M + b) * s)`` where ``s`` is the per-block adaptive
+    reciprocal scale (1 everywhere when not adaptive; never applied to DC,
+    quantization.c:198-199).
+    """
+    m, b = tables.fused_encode_operator(cfg, chroma=chroma)
+    x = pixels_flat.astype(m.dtype)
+    y = jnp.dot(x, jnp.asarray(m), precision=_PREC) + jnp.asarray(b)
+    if cfg.adaptive:
+        if block_variance is None:
+            raise ValueError("adaptive quantization requires block_variance")
+        from dct_tpu.ops.quant import adaptive_quant_scale
+
+        s = adaptive_quant_scale(block_variance).astype(y.dtype)  # (B,)
+        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # (N^2,), 0 at DC
+        # quantize divides by (q * s) for AC -> multiply the q-normalized
+        # coefficient by 1/s (quantization.c:190, :124).
+        scale = 1.0 + ac[None, :] * (1.0 / s[:, None] - 1.0)
+        y = y * scale
+    return round_half_away(y).astype(jnp.int32)
+
+
+def decode_blocks(
+    zz_coeffs: jax.Array,
+    cfg: CodecConfig,
+    block_variance: jax.Array | None = None,
+    chroma: bool = False,
+) -> jax.Array:
+    """Quantized zigzag coefficients -> reconstructed u8 pixel blocks.
+
+    Mirror of encode_blocks: fuses quantization.c:133-151 (dequant; or its
+    bug-B1 variant under cfg.compat_b1) + entropy.c:183-210 (inverse zigzag)
+    + dct.c:80-105 (IDCT) + the +128/clamp epilogue into
+    ``clip(round(z * s @ M + 128), 0, 255)``.
+
+    Returns (B, N^2) uint8 flattened pixel blocks.
+    """
+    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
+    z = zz_coeffs.astype(m.dtype)
+    if cfg.adaptive:
+        if block_variance is None:
+            raise ValueError("adaptive dequantization requires block_variance")
+        from dct_tpu.ops.quant import adaptive_quant_scale
+
+        s = adaptive_quant_scale(block_variance).astype(z.dtype)
+        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
+        # Correct adaptive dequant multiplies AC by (q * s); M already carries
+        # q, so apply the extra s on AC inputs (quantization.c:193 double-
+        # inverts to the same result — SURVEY.md B1 analysis).
+        scale = 1.0 + ac[None, :] * (s[:, None] - 1.0)
+        z = z * scale
+    y = jnp.dot(z, jnp.asarray(m), precision=_PREC) + b
+    return level_unshift(y).reshape(z.shape[0], cfg.n2)
+
+
+def dequantized_coeffs(
+    zz_coeffs: jax.Array, cfg: CodecConfig, block_variance: jax.Array | None = None
+) -> jax.Array:
+    """Dequantize zigzag coefficients back to float DCT-coefficient blocks
+    (B, N, N) in natural order — the reference's ``dequantize`` output
+    (quantization.c:133-151), exposed for layer-level tests."""
+    q = np.asarray(tables.quant_matrix(cfg.block_size, cfg.quality)).ravel()
+    qz = q[tables.zigzag_permutation(cfg.block_size)]
+    dq = (1.0 / qz) if cfg.compat_b1 else qz
+    dq = jnp.asarray(dq, dtype=jnp.dtype(cfg.dtype))
+    z = zz_coeffs.astype(dq.dtype)
+    if cfg.adaptive:
+        from dct_tpu.ops.quant import adaptive_quant_scale
+
+        s = adaptive_quant_scale(block_variance).astype(dq.dtype)
+        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
+        z = z * (1.0 + ac[None, :] * (s[:, None] - 1.0))
+    y = z * dq[None, :]
+    inv = tables.inverse_zigzag_permutation(cfg.block_size)
+    b = y[:, jnp.asarray(inv)]
+    return b.reshape(-1, cfg.block_size, cfg.block_size)
