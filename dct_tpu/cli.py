@@ -1,0 +1,201 @@
+"""Command-line interface: encode / decode / inspect / bench.
+
+The reference ships no CLI (its only executables are the three test mains,
+SURVEY.md section 3); this is the user-facing driver.
+
+  dct-tpu encode input.pgm out.tpdc --quality 75 --adaptive
+  dct-tpu decode out.tpdc recon.pgm
+  dct-tpu info out.tpdc
+  dct-tpu bench --size 1920x1088 --frames 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _add_codec_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--quality", type=int, default=50, help="1-100 (JPEG-style)")
+    p.add_argument("--block-size", type=int, default=8)
+    p.add_argument("--adaptive", action="store_true",
+                   help="per-block variance-adaptive quantization")
+    p.add_argument("--huffman", choices=("category", "direct", "none"),
+                   default="category")
+    p.add_argument("--static-tables", action="store_true",
+                   help="fixed default Huffman table (single-pass encode)")
+    p.add_argument("--stripe-rows", type=int, default=1,
+                   help="block rows per bitstream stripe")
+    p.add_argument("--chroma", choices=("gray", "444", "420"), default=None,
+                   help="color mode (default: gray for 2D input, 420 for RGB)")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas kernels (TPU)")
+    p.add_argument("--compat-b1", action="store_true",
+                   help="reproduce reference dequant bug B1")
+
+
+def _config_from_args(args, color: bool):
+    from dct_tpu.config import CodecConfig
+
+    chroma = args.chroma or ("420" if color else "gray")
+    return CodecConfig(
+        block_size=args.block_size,
+        quality=args.quality,
+        adaptive=args.adaptive,
+        use_huffman=args.huffman != "none",
+        huffman_mode=args.huffman,
+        static_tables=args.static_tables,
+        stripe_rows=args.stripe_rows,
+        chroma=chroma,
+        use_pallas=args.pallas,
+        compat_b1=args.compat_b1,
+    )
+
+
+def cmd_encode(args) -> int:
+    from dct_tpu.models import codec
+    from dct_tpu.utils import image_io, metrics
+
+    img = image_io.read_image(args.input)
+    cfg = _config_from_args(args, color=img.ndim == 3)
+    t0 = time.perf_counter()
+    data = codec.encode(img, cfg)
+    dt = time.perf_counter() - t0
+    with open(args.output, "wb") as f:
+        f.write(data)
+    raw = img.size
+    print(
+        f"{args.input}: {img.shape[1]}x{img.shape[0]}"
+        f"{'x3' if img.ndim == 3 else ''} -> {len(data)} bytes "
+        f"({metrics.compression_ratio(raw, len(data)):.2f}:1) in {dt*1e3:.1f} ms"
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from dct_tpu.models import codec
+    from dct_tpu.utils import image_io
+
+    data = open(args.input, "rb").read()
+    img = codec.decode(data)
+    image_io.write_image(args.output, img)
+    print(f"{args.input} -> {args.output} ({img.shape[1]}x{img.shape[0]})")
+    return 0
+
+
+def cmd_info(args) -> int:
+    from dct_tpu import container as cont
+
+    c = cont.deserialize(open(args.input, "rb").read())
+    cfg = c.config
+    info = {
+        "width": c.width,
+        "height": c.height,
+        "block_size": cfg.block_size,
+        "quality": cfg.quality,
+        "adaptive": cfg.adaptive,
+        "huffman_mode": cfg.huffman_mode if cfg.use_huffman else "none",
+        "static_tables": cfg.static_tables,
+        "chroma": cfg.chroma,
+        "stripe_rows": cfg.stripe_rows,
+        "planes": [
+            {
+                "width": p.width,
+                "height": p.height,
+                "stripes": len(p.stripes),
+                "payload_bytes": int(sum(len(s) for s in p.stripes)),
+            }
+            for p in c.planes
+        ],
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def cmd_roundtrip(args) -> int:
+    from dct_tpu.models import codec
+    from dct_tpu.utils import image_io, metrics
+
+    img = image_io.read_image(args.input)
+    cfg = _config_from_args(args, color=img.ndim == 3)
+    data = codec.encode(img, cfg)
+    rec = codec.decode(data)
+    print(
+        f"PSNR {metrics.psnr(rec, img):.2f} dB, "
+        f"{metrics.compression_ratio(img.size, len(data)):.2f}:1 "
+        f"({len(data)} bytes)"
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from dct_tpu.models import codec
+    from dct_tpu.utils import image_io
+
+    w, h = (int(x) for x in args.size.split("x"))
+    cfg = _config_from_args(args, color=False).replace(static_tables=True)
+    frames = np.stack(
+        [image_io.synthetic_image(h, w, "photo", seed=s) for s in range(args.frames)]
+    )
+    n_stripes = -(-h // (8 * cfg.stripe_rows))
+
+    @jax.jit
+    def step(fr):
+        packed, _ = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)
+        return packed.units, packed.bit_lengths
+
+    fd = jnp.asarray(frames)
+    jax.block_until_ready(step(fd))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = step(fd)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    mpix = frames.size / dt / 1e6
+    print(f"{mpix:.1f} Mpix/s ({dt*1e3:.2f} ms / {args.frames} frames of {w}x{h})")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="dct-tpu",
+                                 description="TPU-native DCT image codec")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="image -> .tpdc")
+    p.add_argument("input"); p.add_argument("output")
+    _add_codec_args(p)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help=".tpdc -> image")
+    p.add_argument("input"); p.add_argument("output")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("info", help="inspect a .tpdc container")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("roundtrip", help="encode+decode, report PSNR/ratio")
+    p.add_argument("input")
+    _add_codec_args(p)
+    p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("bench", help="encode throughput")
+    p.add_argument("--size", default="1920x1088")
+    p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--iters", type=int, default=10)
+    _add_codec_args(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

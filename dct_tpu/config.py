@@ -44,6 +44,13 @@ class CodecConfig:
           * ``"none"`` — fixed-length 16-bit values.
         Run lengths are always fixed 8 bits (reference convention,
         ``entropy.c:390``).
+      static_tables: use a fixed default category table instead of building
+        a per-image table from the histogram. Single device dispatch (no
+        histogram sync), fully jittable end-to-end; slightly worse
+        compression. Only meaningful with huffman_mode="category".
+      use_pallas: route the transform through the fused Pallas kernels
+        (ops/transform_pallas.py) instead of the XLA einsum path. On
+        non-TPU backends the kernels run in interpreter mode.
       compat_b1: reproduce reference bug B1 — the non-adaptive dequantize
         multiplies by ``1/q`` instead of ``q`` (``quantization.c:144`` with the
         reciprocal table from ``quantization.c:106``). Off by default; the
@@ -65,6 +72,8 @@ class CodecConfig:
     adaptive: bool = False
     use_huffman: bool = True
     huffman_mode: HuffmanMode = "category"
+    static_tables: bool = False
+    use_pallas: bool = False
     compat_b1: bool = False
     chroma: ChromaMode = "gray"
     stripe_rows: int = 1

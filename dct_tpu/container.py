@@ -1,0 +1,191 @@
+"""TPDC container format — the serialized artifact.
+
+The reference never defines one (Huffman codes are built but no bits are
+ever written, SURVEY.md B2); per SURVEY.md section 5.4 the container doubles
+as the checkpoint/resume unit: every stripe is an independent byte-aligned
+substream with its own recorded bit length, so
+
+  * multi-shard encodes concatenate deterministically (bit-identical output
+    for any device mesh — the stripe boundaries are a property of the image,
+    not of the mesh);
+  * decode parallelizes across stripes;
+  * a partially damaged or partially re-encoded file recovers per stripe.
+
+Layout (little-endian):
+
+  header (20 B):
+    0  magic   b"TPDC"
+    4  version u8 (= 1)
+    5  flags   u8: bit0 adaptive, bit1 use_huffman,
+                   bits2-3 huffman_mode (0 category, 1 direct, 2 none),
+                   bit4 compat_b1
+    6  block_size u8
+    7  quality    u8
+    8  width      u32
+    12 height     u32
+    16 n_planes   u8
+    17 chroma     u8 (0 gray, 1 4:4:4, 2 4:2:0)
+    18 stripe_rows u16
+
+  per plane:
+    plane_w u32, plane_h u32, n_stripes u32
+    table section (mode-dependent):
+      category: 16 x u8 canonical code lengths
+      direct:   vmin i32, alphabet_size u16, (alphabet_size + 1) x u8 lengths
+                (last = ESC)
+      none:     (empty)
+    adaptive only: bh*bw x u8 per-block variance codes (padded grid dims)
+    n_stripes x u32 stripe bit lengths
+    payload: concatenation of byte-aligned stripe substreams
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+
+import numpy as np
+
+from dct_tpu.config import CodecConfig
+
+MAGIC = b"TPDC"
+VERSION = 1
+
+_HUFFMAN_MODES = ("category", "direct", "none")
+_CHROMA_MODES = ("gray", "444", "420")
+
+
+@dataclasses.dataclass
+class PlaneData:
+    width: int
+    height: int
+    table_lengths: np.ndarray | None  # canonical code lengths (or None)
+    vmin: int  # direct mode only
+    variance_codes: np.ndarray | None  # (bh*bw,) u8, adaptive only
+    stripe_bits: np.ndarray  # (n_stripes,) u32
+    stripes: list[bytes]
+
+
+@dataclasses.dataclass
+class Container:
+    config: CodecConfig
+    width: int
+    height: int
+    planes: list[PlaneData]
+
+
+def _pack_flags(cfg: CodecConfig) -> int:
+    return (
+        (1 if cfg.adaptive else 0)
+        | ((1 if cfg.use_huffman else 0) << 1)
+        | (_HUFFMAN_MODES.index(cfg.huffman_mode) << 2)
+        | ((1 if cfg.compat_b1 else 0) << 4)
+        | ((1 if cfg.static_tables else 0) << 5)
+    )
+
+
+def serialize(c: Container) -> bytes:
+    cfg = c.config
+    out = bytearray()
+    out += MAGIC
+    out += struct.pack(
+        "<BBBBIIBBH",
+        VERSION,
+        _pack_flags(cfg),
+        cfg.block_size,
+        cfg.quality,
+        c.width,
+        c.height,
+        len(c.planes),
+        _CHROMA_MODES.index(cfg.chroma),
+        cfg.stripe_rows,
+    )
+    for p in c.planes:
+        out += struct.pack("<III", p.width, p.height, len(p.stripes))
+        mode = cfg.huffman_mode if cfg.use_huffman else "none"
+        if mode == "category":
+            assert len(p.table_lengths) == 16
+            out += bytes(np.asarray(p.table_lengths, np.uint8))
+        elif mode == "direct":
+            lengths = np.asarray(p.table_lengths, np.uint8)
+            out += struct.pack("<iH", p.vmin, len(lengths) - 1)
+            out += bytes(lengths)
+        if cfg.adaptive:
+            out += bytes(np.asarray(p.variance_codes, np.uint8))
+        out += np.asarray(p.stripe_bits, "<u4").tobytes()
+        for s in p.stripes:
+            out += s
+    return bytes(out)
+
+
+def deserialize(data: bytes) -> Container:
+    if data[:4] != MAGIC:
+        raise ValueError("not a TPDC container")
+    (
+        version,
+        flags,
+        block_size,
+        quality,
+        width,
+        height,
+        n_planes,
+        chroma_idx,
+        stripe_rows,
+    ) = struct.unpack_from("<BBBBIIBBH", data, 4)
+    if version != VERSION:
+        raise ValueError(f"unsupported container version {version}")
+    cfg = CodecConfig(
+        block_size=block_size,
+        quality=quality,
+        adaptive=bool(flags & 1),
+        use_huffman=bool((flags >> 1) & 1),
+        huffman_mode=_HUFFMAN_MODES[(flags >> 2) & 3],
+        compat_b1=bool((flags >> 4) & 1),
+        static_tables=bool((flags >> 5) & 1),
+        chroma=_CHROMA_MODES[chroma_idx],
+        stripe_rows=stripe_rows,
+    )
+    off = 20
+    planes = []
+    n = block_size
+    for _ in range(n_planes):
+        pw, ph, n_stripes = struct.unpack_from("<III", data, off)
+        off += 12
+        mode = cfg.huffman_mode if cfg.use_huffman else "none"
+        table = None
+        vmin = 0
+        if mode == "category":
+            table = np.frombuffer(data, np.uint8, 16, off).copy()
+            off += 16
+        elif mode == "direct":
+            vmin, alpha = struct.unpack_from("<iH", data, off)
+            off += 6
+            table = np.frombuffer(data, np.uint8, alpha + 1, off).copy()
+            off += alpha + 1
+        var_codes = None
+        if cfg.adaptive:
+            # grid dims after padding to stripe multiples (codec.py contract)
+            bh = -(-ph // n)
+            bh = -(-bh // stripe_rows) * stripe_rows
+            bw = -(-pw // n)
+            var_codes = np.frombuffer(data, np.uint8, bh * bw, off).copy()
+            off += bh * bw
+        stripe_bits = np.frombuffer(data, "<u4", n_stripes, off).copy()
+        off += 4 * n_stripes
+        stripes = []
+        for s in range(n_stripes):
+            nbytes = int((int(stripe_bits[s]) + 7) // 8)
+            stripes.append(data[off : off + nbytes])
+            off += nbytes
+        planes.append(
+            PlaneData(
+                width=pw,
+                height=ph,
+                table_lengths=table,
+                vmin=vmin,
+                variance_codes=var_codes,
+                stripe_bits=stripe_bits,
+                stripes=stripes,
+            )
+        )
+    return Container(config=cfg, width=width, height=height, planes=planes)

@@ -1,0 +1,295 @@
+"""End-to-end grayscale image codec: u8 image -> TPDC bitstream -> u8 image.
+
+This is the driver the reference never wrote (its image-level loop exists
+only as the orphaned create_block_from_pixels helper, dct.c:109-120 /
+SURVEY.md section 3.5). Pipeline per plane:
+
+  encode:  tile -> [device] fused DCT+quant matmul -> RLE scans ->
+           category histogram -> [host] canonical table (16 ints) ->
+           [device] chunk/offset scans + scatter bit-pack ->
+           [host] stripe bytes + container
+
+  decode:  [host] parse container + Huffman-decode stripes to zigzag
+           coefficients (or the native C++ decoder when built) ->
+           [device] fused dequant+IDCT matmul -> crop
+
+Two device dispatches per image with a 64-byte histogram sync between them
+— the irreducible structure of any two-pass entropy coder with per-image
+tables. Static-table mode (planned) collapses encode to one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import blocks as blk
+from dct_tpu.ops import huffman as hf
+from dct_tpu.ops import quant, rle, transform
+
+DIRECT_VMIN = -255  # direct-mode alphabet [-255, 255] + ESC (reference values
+# beyond 8-bit magnitude are rare; they escape to raw 16-bit)
+DIRECT_ALPHABET = 511
+
+
+def _padded_grid(h: int, w: int, cfg: CodecConfig) -> tuple[int, int, int]:
+    """(block rows padded to stripe multiple, block cols, n_stripes)."""
+    n = cfg.block_size
+    bh = -(-h // n)
+    bw = -(-w // n)
+    bh = -(-bh // cfg.stripe_rows) * cfg.stripe_rows
+    return bh, bw, bh // cfg.stripe_rows
+
+
+def _fused_encode(pixels, cfg, scale, chroma):
+    if cfg.use_pallas:
+        from dct_tpu.ops import transform_pallas
+
+        return transform_pallas.encode_blocks_pallas(
+            pixels, cfg, adaptive_scale=scale, chroma=chroma
+        ).astype(jnp.int32)
+    return transform.encode_blocks(pixels, cfg, adaptive_scale=scale, chroma=chroma)
+
+
+def _fused_decode(zz, cfg, scale, chroma):
+    if cfg.use_pallas:
+        from dct_tpu.ops import transform_pallas
+
+        return transform_pallas.decode_blocks_pallas(
+            zz, cfg, adaptive_scale=scale, chroma=chroma
+        )
+    return transform.decode_blocks(zz, cfg, adaptive_scale=scale, chroma=chroma)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chroma"))
+def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
+    """Stage 1 on device: padded plane -> (symbols, var_codes, histogram).
+
+    image: (Hp, Wp) u8, already padded to the stripe grid.
+    """
+    n = cfg.block_size
+    pixels = blk.image_to_blocks(image, n)  # (NB, n^2)
+    var_codes = None
+    scale = None
+    if cfg.adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        var_codes = quant.variance_code(var)
+        scale = quant.scale_from_variance_code(var_codes)
+    zz = _fused_encode(pixels, cfg, scale, chroma)
+    symbols = rle.rle_encode(zz)
+    if cfg.use_huffman and cfg.huffman_mode == "category":
+        hist = hf.category_histogram(symbols.values, symbols.counts)
+    elif cfg.use_huffman and cfg.huffman_mode == "direct":
+        hist = hf.value_histogram(
+            symbols.values, symbols.counts, DIRECT_VMIN, -DIRECT_VMIN
+        )
+    else:
+        hist = jnp.zeros(1, jnp.int32)
+    return symbols, var_codes, hist
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+def encode_pack(
+    symbols: rle.RLEBlocks,
+    cfg: CodecConfig,
+    n_stripes: int,
+    lengths: jax.Array,
+    codes: jax.Array,
+):
+    """Stage 2 on device: symbols + canonical table -> packed stripe units."""
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    if mode == "category":
+        cv, cl = bs.symbol_chunks(symbols, mode, cat_lengths=lengths, cat_codes=codes)
+    elif mode == "direct":
+        cv, cl = bs.symbol_chunks(
+            symbols, mode, val_lengths=lengths, val_codes=codes, vmin=DIRECT_VMIN
+        )
+    else:
+        cv, cl = bs.symbol_chunks(symbols, mode)
+    nb = symbols.values.shape[0]
+    bps = nb // n_stripes  # blocks per stripe (static)
+    cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
+    cl = cl.reshape(n_stripes, bps * cl.shape[1], 3)
+    capacity = bps * bs.UNITS_PER_BLOCK_WORST
+    return bs.pack_chunks(cv, cl, capacity)
+
+
+def _build_table(cfg: CodecConfig, hist: np.ndarray) -> hf.CanonicalTable | None:
+    if not cfg.use_huffman or cfg.huffman_mode == "none":
+        return None
+    if cfg.static_tables:
+        if cfg.huffman_mode != "category":
+            raise ValueError("static_tables requires huffman_mode='category'")
+        return hf.default_category_table()
+    return hf.CanonicalTable.from_frequencies(hist)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes", "chroma"))
+def encode_step(
+    image: jax.Array, cfg: CodecConfig, n_stripes: int, chroma: bool = False
+):
+    """Single-dispatch full encode (static-table mode): padded plane ->
+    (PackedStripes, var_codes). Fully jittable end to end — no host sync —
+    hence directly shardable over a device mesh (parallel/shard_encode.py)
+    and the unit the driver's entry()/dryrun exercises.
+    """
+    if not cfg.static_tables:
+        raise ValueError("encode_step requires cfg.static_tables")
+    table = hf.default_category_table()
+    lengths = jnp.asarray(table.lengths, jnp.int32)
+    codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+    n = cfg.block_size
+    pixels = blk.image_to_blocks(image, n)
+    var_codes = None
+    scale = None
+    if cfg.adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        var_codes = quant.variance_code(var)
+        scale = quant.scale_from_variance_code(var_codes)
+    zz = _fused_encode(pixels, cfg, scale, chroma)
+    symbols = rle.rle_encode(zz)
+    packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
+    return packed, var_codes
+
+
+def encode_plane(
+    plane: np.ndarray, cfg: CodecConfig, chroma: bool = False
+) -> cont.PlaneData:
+    """Encode one u8 plane to PlaneData (device compute + host assembly)."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    n = cfg.block_size
+    bh, bw, n_stripes = _padded_grid(h, w, cfg)
+    padded = np.asarray(plane, np.uint8)
+    img = jnp.asarray(padded)
+    img = blk.pad_to_blocks(img, n)
+    ph, pw = bh * n, bw * n
+    if img.shape[0] != ph or img.shape[1] != pw:
+        img = jnp.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+
+    if cfg.static_tables:
+        table = _build_table(cfg, None)
+        packed, var_codes = encode_step(img, cfg, n_stripes, chroma=chroma)
+    else:
+        symbols, var_codes, hist = encode_analyze(img, cfg, chroma=chroma)
+        table = _build_table(cfg, np.asarray(hist))
+        if table is not None:
+            lengths = jnp.asarray(table.lengths, jnp.int32)
+            codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+        else:
+            lengths = jnp.zeros(1, jnp.int32)
+            codes = jnp.zeros(1, jnp.uint32)
+        packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
+    stripes = bs.stripes_to_bytes(packed)
+    return cont.PlaneData(
+        width=w,
+        height=h,
+        table_lengths=table.lengths if table is not None else None,
+        vmin=DIRECT_VMIN,
+        variance_codes=np.asarray(var_codes) if cfg.adaptive else None,
+        stripe_bits=np.asarray(packed.bit_lengths, np.uint32),
+        stripes=stripes,
+    )
+
+
+def decode_plane(p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
+    """PlaneData -> reconstructed u8 plane."""
+    n = cfg.block_size
+    bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
+    bps = (bh // n_stripes) * bw  # blocks per stripe
+
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    table = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
+
+    zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps)
+
+    scale = None
+    if cfg.adaptive:
+        scale = quant.scale_from_variance_code(jnp.asarray(p.variance_codes))
+    pixels = _fused_decode(jnp.asarray(zz), cfg, scale, chroma)
+    # Rebuild on the (stripe-padded) encoder grid, then crop to true dims.
+    img = blk.blocks_to_image(pixels, bh * n, bw * n, n)
+    return np.asarray(img[: p.height, : p.width])
+
+
+def _decode_stripes(p, cfg, table, mode, n_stripes, bps) -> np.ndarray:
+    """Entropy-decode all stripes to (NB, n^2) zigzag coefficients.
+
+    Uses the native C++ decoder when available (dct_tpu.native), else the
+    pure-Python reference decoder.
+    """
+    from dct_tpu import native
+
+    n2 = cfg.n2
+    if native.available():
+        return native.unpack_stripes(
+            p.stripes, bps, n2, mode, table, DIRECT_VMIN
+        )
+    out = []
+    for s in range(n_stripes):
+        out.append(
+            bs.unpack_stripe_host(
+                p.stripes[s], bps, n2, mode,
+                cat_table=table if mode == "category" else None,
+                val_table=table if mode == "direct" else None,
+                vmin=DIRECT_VMIN,
+            )
+        )
+    return np.concatenate(out, axis=0)
+
+
+class ImageCodec:
+    """Grayscale single-plane codec (the reference's implicit model:
+    luma-only, SURVEY.md section 1)."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+        if self.config.chroma != "gray":
+            raise ValueError("ImageCodec is grayscale; use ColorImageCodec")
+
+    def encode(self, image: np.ndarray) -> bytes:
+        if image.ndim != 2:
+            raise ValueError(f"expected (H, W) grayscale, got {image.shape}")
+        plane = encode_plane(image, self.config)
+        c = cont.Container(
+            config=self.config,
+            width=int(image.shape[1]),
+            height=int(image.shape[0]),
+            planes=[plane],
+        )
+        return cont.serialize(c)
+
+    def decode(self, data: bytes) -> np.ndarray:
+        c = cont.deserialize(data)
+        # execution preferences (pallas vs einsum) come from this codec
+        # instance, not the wire format
+        cfg = c.config.replace(use_pallas=self.config.use_pallas)
+        return decode_plane(c.planes[0], cfg)
+
+
+def encode(image: np.ndarray, config: CodecConfig | None = None) -> bytes:
+    """Module-level convenience: grayscale or color by array rank."""
+    cfg = config or CodecConfig()
+    if image.ndim == 2:
+        return ImageCodec(cfg).encode(image)
+    from dct_tpu.models.color import ColorImageCodec
+
+    if cfg.chroma == "gray":
+        cfg = cfg.replace(chroma="420")
+    return ColorImageCodec(cfg).encode(image)
+
+
+def decode(data: bytes) -> np.ndarray:
+    c = cont.deserialize(data)
+    if c.config.chroma == "gray":
+        return decode_plane(c.planes[0], c.config)
+    from dct_tpu.models.color import ColorImageCodec
+
+    return ColorImageCodec(c.config).decode(data)

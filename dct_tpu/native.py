@@ -1,0 +1,120 @@
+"""Bindings to the native C++ bitstream codec (native/bitpack.cpp ->
+build/libdctbits.so).
+
+The hot decode loop (canonical-Huffman symbol decode + coefficient
+placement) is inherently serial per stripe; stripes are independent, so the
+native decoder runs them via a simple pthread pool. The Python fallback in
+ops/bitstream.py is the behavioral reference; tests assert byte-for-byte
+agreement.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_REPO = pathlib.Path(__file__).resolve().parent.parent
+_LIB_PATH = _REPO / "build" / "libdctbits.so"
+
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_MODE_IDS = {"category": 0, "direct": 1, "none": 2}
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", str(_REPO / "native"), str(_LIB_PATH)],
+            check=True, capture_output=True, text=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    if not _LIB_PATH.exists() and not _build():
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.dctbits_unpack_stripes.argtypes = [
+        u8p,              # concatenated stripe bytes
+        ctypes.POINTER(ctypes.c_uint64),  # per-stripe byte offsets (n+1)
+        ctypes.c_int,     # n_stripes
+        ctypes.c_int,     # blocks per stripe
+        ctypes.c_int,     # n2
+        ctypes.c_int,     # mode id
+        u8p,              # table lengths
+        ctypes.c_int,     # table size
+        ctypes.c_int,     # vmin
+        i32p,             # out (n_stripes * bps * n2)
+        ctypes.c_int,     # n_threads
+    ]
+    lib.dctbits_unpack_stripes.restype = ctypes.c_int
+    lib.dctbits_pack_block_symbols.argtypes = [
+        i32p, i32p, ctypes.c_int,  # values, runs, count
+        ctypes.c_int,              # mode id
+        u8p, u32p, ctypes.c_int,   # table lengths, codes, size
+        ctypes.c_int,              # vmin
+        u8p, ctypes.c_uint64,      # out buffer, capacity bytes
+    ]
+    lib.dctbits_pack_block_symbols.restype = ctypes.c_int64
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def unpack_stripes(
+    stripes: list[bytes],
+    blocks_per_stripe: int,
+    n2: int,
+    mode: str,
+    table,
+    vmin: int,
+    n_threads: int = 8,
+) -> np.ndarray:
+    """Decode stripe substreams -> (n_stripes * bps, n2) int32 zigzag."""
+    lib = _load()
+    n_stripes = len(stripes)
+    blob = b"".join(stripes)
+    offsets = np.zeros(n_stripes + 1, np.uint64)
+    np.cumsum([len(s) for s in stripes], out=offsets[1:])
+    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    if table is not None:
+        lengths = np.ascontiguousarray(table.lengths, np.uint8)
+    else:
+        lengths = np.zeros(1, np.uint8)
+    out = np.zeros((n_stripes * blocks_per_stripe, n2), np.int32)
+    rc = lib.dctbits_unpack_stripes(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_stripes,
+        blocks_per_stripe,
+        n2,
+        _MODE_IDS[mode],
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(lengths),
+        vmin,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    if rc != 0:
+        raise ValueError(f"native stripe decode failed with code {rc}")
+    return out

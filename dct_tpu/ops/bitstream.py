@@ -1,0 +1,294 @@
+"""Scan-based bitstream packing: RLE symbols -> real serialized bits.
+
+The reference builds Huffman codes but never emits a bitstream — its decoder
+reads the in-memory symbol array (entropy.c:333-358) and sizes are estimates
+only (SURVEY.md B2). This module is the real thing, built the TPU way
+(SURVEY.md section 7, hard part #1): variable-length output on a fixed-shape
+machine via a two-pass scheme —
+
+  pass 1: per-symbol bit lengths (vectorized gathers from the code-length
+          table) and an exclusive prefix-sum of bit offsets per stripe;
+  pass 2: each symbol's payload is split into <=16-bit chunks, every chunk
+          lands in at most two 16-bit stream units, and all chunks are
+          scatter-added into a zeroed unit buffer (bit ranges are disjoint
+          by construction, so add == or, and no carries can occur).
+
+Symbol wire format (MSB-first), per RLE symbol:
+  category mode: huff(category) | extra bits (category count) | run (8b)
+  direct mode:   huff(value)    | [ESC: raw 16b value]        | run (8b)
+  none mode:     raw 16b value  |                             | run (8b)
+
+The 8-bit fixed run field follows the reference's accounting convention
+(entropy.c:390). After a block's symbols, the decoder's position invariant
+(pos lands exactly at N^2 — see ops/rle.py) delimits blocks with no count
+field. Stripes are byte-aligned independent substreams so multi-shard
+encodes concatenate deterministically (SURVEY.md section 5.8).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu.ops import huffman as hf
+from dct_tpu.ops.rle import RLEBlocks
+
+# Static worst case per block: 64 symbols x (16 huff + 15 extra + 8 run).
+MAX_BITS_PER_SYMBOL = 16 + 15 + 8
+UNITS_PER_BLOCK_WORST = (64 * (MAX_BITS_PER_SYMBOL + 1) + 15) // 16  # 160
+
+
+class PackedStripes(NamedTuple):
+    """units: (n_stripes, U) int32, each holding one big-endian 16-bit unit
+    in its low bits; bit_lengths: (n_stripes,) int32 actual payload bits."""
+
+    units: jax.Array
+    bit_lengths: jax.Array
+
+
+def symbol_chunks(
+    symbols: RLEBlocks,
+    mode: str,
+    cat_lengths: jax.Array | None = None,
+    cat_codes: jax.Array | None = None,
+    val_lengths: jax.Array | None = None,
+    val_codes: jax.Array | None = None,
+    vmin: int = 0,
+    esc_index: int = 0,
+):
+    """Per-symbol (chunk_values (B,S,3) uint32, chunk_lens (B,S,3) int32).
+
+    Dead symbol slots (beyond counts) get zero-length chunks.
+    """
+    values, runs, counts = symbols
+    B, S = values.shape
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+    live = s_idx < counts[:, None]
+
+    run_v = runs.astype(jnp.uint32)
+    run_l = jnp.where(live, hf.RUN_BITS, 0).astype(jnp.int32)
+
+    if mode == "category":
+        cats = hf.category_of(values)
+        a_v = jnp.asarray(cat_codes, jnp.uint32)[cats]
+        a_l = jnp.asarray(cat_lengths, jnp.int32)[cats]
+        b_v = hf.category_extra_bits(values, cats)
+        b_l = cats
+    elif mode == "direct":
+        n_alpha = val_lengths.shape[0] - 1  # last entry is ESC
+        shifted = values - vmin
+        in_range = (shifted >= 0) & (shifted < n_alpha)
+        idx = jnp.where(in_range, shifted, n_alpha)
+        a_v = jnp.asarray(val_codes, jnp.uint32)[idx]
+        a_l = jnp.asarray(val_lengths, jnp.int32)[idx]
+        b_v = (values.astype(jnp.int32) & 0xFFFF).astype(jnp.uint32)
+        b_l = jnp.where(in_range, 0, 16)
+    elif mode == "none":
+        a_v = (values.astype(jnp.int32) & 0xFFFF).astype(jnp.uint32)
+        a_l = jnp.full((B, S), 16, jnp.int32)
+        b_v = jnp.zeros((B, S), jnp.uint32)
+        b_l = jnp.zeros((B, S), jnp.int32)
+    else:
+        raise ValueError(f"unknown huffman mode {mode!r}")
+
+    a_l = jnp.where(live, a_l, 0)
+    b_l = jnp.where(live, b_l, 0)
+    cv = jnp.stack([a_v, b_v, run_v], axis=-1)
+    cl = jnp.stack([a_l, b_l, run_l], axis=-1)
+    return cv.astype(jnp.uint32), cl
+
+
+def pack_chunks(
+    chunk_values: jax.Array, chunk_lens: jax.Array, units_capacity: int
+) -> PackedStripes:
+    """Pack (n_stripes, C, 3) chunks into 16-bit stream units per stripe.
+
+    chunk bit offsets = exclusive cumsum of lengths along the stripe's
+    flattened chunk axis. Each chunk (<=16 bits) spans at most two units; its
+    32-bit window aligned at the owning unit is split hi/lo and
+    scatter-added. Disjoint bit ranges guarantee add == bitwise-or.
+    """
+    n_stripes = chunk_values.shape[0]
+    cv = chunk_values.reshape(n_stripes, -1).astype(jnp.uint32)
+    cl = chunk_lens.reshape(n_stripes, -1).astype(jnp.int32)
+
+    csum = jnp.cumsum(cl, axis=1)
+    offs = csum - cl  # exclusive
+    bit_lengths = csum[:, -1]
+
+    unit_idx = offs >> 4
+    sh = offs & 15
+    shift = 32 - cl - sh
+    live = cl > 0
+    # guard the undefined <<32 case (dead chunks)
+    shift = jnp.clip(shift, 0, 31)
+    window = jnp.where(live, cv << shift.astype(jnp.uint32), jnp.uint32(0))
+    hi = (window >> 16).astype(jnp.int32)
+    lo = (window & 0xFFFF).astype(jnp.int32)
+
+    dump = units_capacity
+    i0 = jnp.where(live, unit_idx, dump)
+    i1 = jnp.where(live & (lo > 0), unit_idx + 1, dump)
+    i1 = jnp.minimum(i1, dump)
+
+    buf = jnp.zeros((n_stripes, units_capacity + 1), jnp.int32)
+    rows = jnp.arange(n_stripes)[:, None]
+    buf = buf.at[rows, i0].add(hi, mode="drop")
+    buf = buf.at[rows, i1].add(lo, mode="drop")
+    return PackedStripes(units=buf[:, :units_capacity], bit_lengths=bit_lengths)
+
+
+def stripes_to_bytes(packed: PackedStripes) -> list[bytes]:
+    """Host epilogue: unit buffers -> per-stripe byte strings (big-endian
+    16-bit units, truncated to the actual byte length)."""
+    units = np.asarray(packed.units).astype(np.uint16)
+    bits = np.asarray(packed.bit_lengths)
+    out = []
+    for s in range(units.shape[0]):
+        n_bytes = int((bits[s] + 7) // 8)
+        raw = units[s].astype(">u2").tobytes()
+        out.append(raw[:n_bytes])
+    return out
+
+
+class BitReader:
+    """MSB-first bit reader over bytes (host-side decode)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    @property
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+
+class BitWriter:
+    """MSB-first bit writer (host-side reference packer, used to cross-check
+    the device scatter packer bit-for-bit)."""
+
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write_bits(self, value: int, n: int):
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.nbits:
+            out.append((self.acc << (8 - self.nbits)) & 0xFF)
+        return bytes(out)
+
+    @property
+    def bit_length(self) -> int:
+        return len(self.buf) * 8 + self.nbits
+
+
+def pack_stripes_host(
+    symbols_per_stripe,
+    mode: str,
+    cat_table: "hf.CanonicalTable | None" = None,
+    val_table: "hf.CanonicalTable | None" = None,
+    vmin: int = 0,
+) -> list[bytes]:
+    """Host (NumPy) packer with identical wire format — the oracle for the
+    device scatter packer. symbols_per_stripe: list of (values, runs) numpy
+    pairs, already restricted to live symbols, concatenated per stripe."""
+    out = []
+    for values, runs in symbols_per_stripe:
+        w = BitWriter()
+        for v, r in zip(values.tolist(), runs.tolist()):
+            if mode == "category":
+                c = int(abs(v)).bit_length()
+                w.write_bits(int(cat_table.codes[c]), int(cat_table.lengths[c]))
+                if c:
+                    extra = v if v > 0 else v + (1 << c) - 1
+                    w.write_bits(int(extra), c)
+            elif mode == "direct":
+                n_alpha = len(val_table.lengths) - 1
+                idx = v - vmin
+                if 0 <= idx < n_alpha and val_table.lengths[idx] > 0:
+                    w.write_bits(int(val_table.codes[idx]), int(val_table.lengths[idx]))
+                else:
+                    w.write_bits(
+                        int(val_table.codes[n_alpha]), int(val_table.lengths[n_alpha])
+                    )
+                    w.write_bits(v & 0xFFFF, 16)
+            elif mode == "none":
+                w.write_bits(v & 0xFFFF, 16)
+            w.write_bits(r, hf.RUN_BITS)
+        out.append(w.getvalue())
+    return out
+
+
+def unpack_stripe_host(
+    data: bytes,
+    n_blocks: int,
+    n2: int,
+    mode: str,
+    cat_table: "hf.CanonicalTable | None" = None,
+    val_table: "hf.CanonicalTable | None" = None,
+    vmin: int = 0,
+) -> np.ndarray:
+    """Decode one stripe substream -> (n_blocks, n2) zigzag coefficients.
+
+    Uses the decoder position invariant (ops/rle.py): a block is complete
+    when pos reaches n2, so no symbol counts are stored.
+    """
+    r = BitReader(data)
+    out = np.zeros((n_blocks, n2), np.int32)
+    for b in range(n_blocks):
+        pos = 0
+        while pos < n2:
+            if mode == "category":
+                c = cat_table.decode_one(r)
+                if c:
+                    extra = r.read_bits(c)
+                    v = int(hf.value_from_category(np.int32(c), np.int64(extra)))
+                else:
+                    v = 0
+            elif mode == "direct":
+                sym = val_table.decode_one(r)
+                n_alpha = len(val_table.lengths) - 1
+                if sym == n_alpha:  # ESC
+                    raw = r.read_bits(16)
+                    v = raw - 0x10000 if raw >= 0x8000 else raw
+                else:
+                    v = sym + vmin
+            else:
+                raw = r.read_bits(16)
+                v = raw - 0x10000 if raw >= 0x8000 else raw
+            run = r.read_bits(hf.RUN_BITS)
+            pos += run
+            if pos < n2:
+                out[b, pos] = v
+                pos += 1
+    return out

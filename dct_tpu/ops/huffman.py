@@ -251,6 +251,27 @@ class CanonicalTable:
 
 
 # ---------------------------------------------------------------------------
+# Static default table (single-pass mode)
+# ---------------------------------------------------------------------------
+
+# Category frequencies of typical natural-image DCT statistics (Laplacian
+# coefficient distribution): cat 0 and small categories dominate. Building
+# the canonical table from these fixed pseudo-frequencies gives a JPEG-style
+# default table, enabling single-dispatch encode with no histogram sync
+# (config.static_tables). Any stream remains decodable: every category has a
+# nonzero frequency, so every symbol gets a code.
+_DEFAULT_CATEGORY_PSEUDO_FREQS = np.array(
+    [4000, 2600, 1700, 1100, 700, 420, 230, 110, 45, 16, 5, 2, 1, 1, 1, 1],
+    np.int64,
+)
+
+
+@np.errstate(all="ignore")
+def default_category_table() -> "CanonicalTable":
+    return CanonicalTable.from_frequencies(_DEFAULT_CATEGORY_PSEUDO_FREQS)
+
+
+# ---------------------------------------------------------------------------
 # Reference size-estimate semantics (parity with get_encoded_size)
 # ---------------------------------------------------------------------------
 

@@ -48,6 +48,26 @@ def block_variance(blocks: jax.Array) -> jax.Array:
     return mean_sq - mean * mean
 
 
+def variance_code(variance: jax.Array) -> jax.Array:
+    """Quantize normalized variance to a u8 wire code.
+
+    The reference's decoder receives the encoder's float variance out of
+    band (the tests simply pass the same variable, test_entropy.c:370); a
+    real bitstream must carry it. We quantize ``norm = clamp(var/1000, 0.1,
+    1.0)`` to 8 bits: code = round((norm - 0.1) * 255 / 0.9). The ENCODER
+    uses the scale reconstructed from this code, so encode and decode use
+    bit-identical scales (max scale error 0.0018 vs the float path).
+    """
+    norm = jnp.clip(variance / 1000.0, 0.1, 1.0)
+    return jnp.round((norm - 0.1) * (255.0 / 0.9)).astype(jnp.uint8)
+
+
+def scale_from_variance_code(code: jax.Array) -> jax.Array:
+    """Wire code -> quantize-divisor scale in [1.0, 1.9] (see variance_code)."""
+    norm = 0.1 + code.astype(jnp.float32) * (0.9 / 255.0)
+    return 2.0 - norm
+
+
 def adaptive_quant_scale(variance: jax.Array) -> jax.Array:
     """Variance -> quantize-divisor scale in [1.0, 1.9] (quantization.c:186-190).
 

@@ -82,6 +82,7 @@ def encode_blocks(
     cfg: CodecConfig,
     block_variance: jax.Array | None = None,
     chroma: bool = False,
+    adaptive_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Raw pixel blocks -> quantized zigzag coefficients, one fused matmul.
 
@@ -107,11 +108,14 @@ def encode_blocks(
     x = pixels_flat.astype(m.dtype)
     y = jnp.dot(x, jnp.asarray(m), precision=_PREC) + jnp.asarray(b)
     if cfg.adaptive:
-        if block_variance is None:
-            raise ValueError("adaptive quantization requires block_variance")
-        from dct_tpu.ops.quant import adaptive_quant_scale
+        if adaptive_scale is not None:
+            s = adaptive_scale.astype(y.dtype)  # (B,) wire-exact scale
+        elif block_variance is not None:
+            from dct_tpu.ops.quant import adaptive_quant_scale
 
-        s = adaptive_quant_scale(block_variance).astype(y.dtype)  # (B,)
+            s = adaptive_quant_scale(block_variance).astype(y.dtype)  # (B,)
+        else:
+            raise ValueError("adaptive quantization requires block_variance")
         ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # (N^2,), 0 at DC
         # quantize divides by (q * s) for AC -> multiply the q-normalized
         # coefficient by 1/s (quantization.c:190, :124).
@@ -125,6 +129,7 @@ def decode_blocks(
     cfg: CodecConfig,
     block_variance: jax.Array | None = None,
     chroma: bool = False,
+    adaptive_scale: jax.Array | None = None,
 ) -> jax.Array:
     """Quantized zigzag coefficients -> reconstructed u8 pixel blocks.
 
@@ -138,19 +143,23 @@ def decode_blocks(
     m, b = tables.fused_decode_operator(cfg, chroma=chroma)
     z = zz_coeffs.astype(m.dtype)
     if cfg.adaptive:
-        if block_variance is None:
-            raise ValueError("adaptive dequantization requires block_variance")
-        from dct_tpu.ops.quant import adaptive_quant_scale
+        if adaptive_scale is not None:
+            s = adaptive_scale.astype(z.dtype)
+        elif block_variance is not None:
+            from dct_tpu.ops.quant import adaptive_quant_scale
 
-        s = adaptive_quant_scale(block_variance).astype(z.dtype)
+            s = adaptive_quant_scale(block_variance).astype(z.dtype)
+        else:
+            raise ValueError("adaptive dequantization requires block_variance")
         ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
         # Correct adaptive dequant multiplies AC by (q * s); M already carries
         # q, so apply the extra s on AC inputs (quantization.c:193 double-
         # inverts to the same result — SURVEY.md B1 analysis).
         scale = 1.0 + ac[None, :] * (s[:, None] - 1.0)
         z = z * scale
-    y = jnp.dot(z, jnp.asarray(m), precision=_PREC) + b
-    return level_unshift(y).reshape(z.shape[0], cfg.n2)
+    y = jnp.dot(z, jnp.asarray(m), precision=_PREC) + b  # b carries the +128
+    rec = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.uint8)
+    return rec.reshape(z.shape[0], cfg.n2)
 
 
 def dequantized_coeffs(

@@ -1,0 +1,259 @@
+"""Pallas TPU kernels for the fused codec front-end.
+
+One grid cell processes a tile of macroblocks: u8 pixels are DMA'd
+HBM->VMEM, converted to f32 on the VPU, hit the MXU once against the fused
+Kronecker operator (DCT + zigzag + quant folded — see dct_tpu/tables.py),
+get the level-shift bias and optional per-block adaptive scale applied, and
+are rounded straight to int16 zigzag coefficients. The decode kernel is the
+mirror. This replaces the reference's per-block O(N^3) loops (dct.c:52-105)
+and per-call temp mallocs (SURVEY.md B7) with a single bandwidth-bound
+streaming kernel.
+
+MXU packing: two 64-coefficient blocks ride in each 128-lane row against a
+block-diagonal 128x128 operator, so the systolic array runs at full width
+(a bare (B,64)x(64,64) matmul would waste half the lanes).
+
+Memory roofline per block (quality path): 64 B of u8 in + 128 B of int16
+out = 192 B for 2*64*128 = 16K MACs on the f32 path — decisively
+bandwidth-bound, which is why the kernel's job is purely to keep the DMA
+pipeline saturated (the default pallas_call pipeline double-buffers
+automatically).
+
+On CPU (tests) the kernels run in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dct_tpu.config import CodecConfig
+from dct_tpu import tables
+from dct_tpu.ops.transform import round_half_away
+
+# Rows per grid cell; each row = 2 blocks. 256 rows x 128 lanes x 4 B = 128 KB
+# per f32 buffer — comfortably inside VMEM with double buffering.
+TILE_ROWS = 256
+BLOCKS_PER_ROW = 2
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_encode_operator(cfg: CodecConfig, chroma: bool = False):
+    """Block-diagonal (128, 128) fused encode matrix + (1, 128) bias."""
+    m, b = tables.fused_encode_operator(cfg, chroma=chroma)  # (64,64), (64,)
+    n2 = m.shape[0]
+    m2 = np.zeros((2 * n2, 2 * n2), m.dtype)
+    m2[:n2, :n2] = m
+    m2[n2:, n2:] = m
+    b2 = np.concatenate([b, b])[None, :]
+    return m2, b2
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_decode_operator(cfg: CodecConfig, chroma: bool = False):
+    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
+    n2 = m.shape[0]
+    m2 = np.zeros((2 * n2, 2 * n2), m.dtype)
+    m2[:n2, :n2] = m
+    m2[n2:, n2:] = m
+    return m2, float(b)
+
+
+@functools.lru_cache(maxsize=None)
+def _packed_ac_mask(n2: int):
+    """(1, 2*n2) mask: 0 at the two DC columns, 1 elsewhere."""
+    mask = np.ones((1, 2 * n2), np.float32)
+    mask[0, 0] = 0.0
+    mask[0, n2] = 0.0
+    return mask
+
+
+def _encode_kernel(x_ref, m_ref, b_ref, o_ref):
+    # Mosaic has no direct u8->f32 cast; widen through int32 (free on VPU).
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+    y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+    o_ref[:] = round_half_away(y).astype(jnp.int16)
+
+
+def _encode_kernel_adaptive(x_ref, m_ref, b_ref, s_ref, mask_ref, o_ref):
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+    y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+    # s_ref: (TILE_ROWS, 2) per-block quantize-divisor scale; expand each
+    # block's scalar across its 64 columns and skip DC via the mask.
+    s = pltpu.repeat(s_ref[:], 64, axis=1)  # (TILE_ROWS, 128)
+    recip = pl.reciprocal(s, approx=False)
+    y = y * (1.0 + mask_ref[:] * (recip - 1.0))
+    o_ref[:] = round_half_away(y).astype(jnp.int16)
+
+
+def _decode_kernel(z_ref, m_ref, o_ref):
+    z = z_ref[:].astype(jnp.float32)
+    y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + 128.0
+    # Mosaic lacks f32->u8; round-trip through int32 (exact for [0,255]).
+    o_ref[:] = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
+    z = z_ref[:].astype(jnp.float32)
+    s = pltpu.repeat(s_ref[:], 64, axis=1)
+    z = z * (1.0 + mask_ref[:] * (s - 1.0))
+    y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST) + 128.0
+    # Mosaic lacks f32->u8; round-trip through int32 (exact for [0,255]).
+    o_ref[:] = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _pack_rows(x: jax.Array) -> tuple[jax.Array, int, int]:
+    """(B, n2) -> (rows_padded, 2*n2) with B padded to 2*TILE_ROWS multiple.
+
+    Returns (packed, original B, padded rows)."""
+    B, n2 = x.shape
+    rows = -(-B // BLOCKS_PER_ROW)
+    rows_padded = -(-rows // TILE_ROWS) * TILE_ROWS
+    pad = rows_padded * BLOCKS_PER_ROW - B
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(rows_padded, BLOCKS_PER_ROW * n2), B, rows_padded
+
+
+def encode_blocks_pallas(
+    pixels_flat: jax.Array,
+    cfg: CodecConfig,
+    adaptive_scale: jax.Array | None = None,
+    chroma: bool = False,
+) -> jax.Array:
+    """Fused encode on TPU: (B, n^2) u8 -> (B, n^2) int16 zigzag coeffs.
+
+    Semantics identical to ops.transform.encode_blocks (tested equal);
+    adaptive_scale is the per-block quantize-divisor scale in [1.0, 1.9].
+    """
+    n2 = cfg.n2
+    if n2 != 64:
+        # Kernel packing assumes n2=64 (two blocks per 128 lanes); other
+        # block sizes take the XLA einsum path.
+        from dct_tpu.ops import transform
+
+        out = transform.encode_blocks(
+            pixels_flat, cfg, adaptive_scale=adaptive_scale, chroma=chroma
+        )
+        return out.astype(jnp.int16)
+
+    m2, b2 = _packed_encode_operator(cfg, chroma=chroma)
+    x, B, rows = _pack_rows(pixels_flat)
+    grid = (rows // TILE_ROWS,)
+    kwargs = dict(
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int16),
+        grid=grid,
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * 128 * 128,
+            bytes_accessed=rows * 128 * (x.dtype.itemsize + 2) + 128 * 128 * 4,
+            transcendentals=0,
+        ),
+    )
+    if cfg.adaptive:
+        if adaptive_scale is None:
+            raise ValueError("adaptive encode requires adaptive_scale")
+        s = adaptive_scale.astype(jnp.float32)
+        pad = rows * BLOCKS_PER_ROW - s.shape[0]
+        if pad:
+            s = jnp.pad(s, (0, pad), constant_values=1.0)
+        s = s.reshape(rows, BLOCKS_PER_ROW)
+        out = pl.pallas_call(
+            _encode_kernel_adaptive,
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            **kwargs,
+        )(x, jnp.asarray(m2), jnp.asarray(b2), s, jnp.asarray(_packed_ac_mask(n2)))
+    else:
+        out = pl.pallas_call(
+            _encode_kernel,
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            **kwargs,
+        )(x, jnp.asarray(m2), jnp.asarray(b2))
+    return out.reshape(rows * BLOCKS_PER_ROW, n2)[:B]
+
+
+def decode_blocks_pallas(
+    zz_coeffs: jax.Array,
+    cfg: CodecConfig,
+    adaptive_scale: jax.Array | None = None,
+    chroma: bool = False,
+) -> jax.Array:
+    """Fused decode on TPU: (B, n^2) int -> (B, n^2) u8 pixels."""
+    n2 = cfg.n2
+    if n2 != 64:
+        from dct_tpu.ops import transform
+
+        return transform.decode_blocks(
+            zz_coeffs, cfg, adaptive_scale=adaptive_scale, chroma=chroma
+        )
+
+    m2, _ = _packed_decode_operator(cfg, chroma=chroma)
+    z, B, rows = _pack_rows(zz_coeffs.astype(jnp.int16))
+    grid = (rows // TILE_ROWS,)
+    kwargs = dict(
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.uint8),
+        grid=grid,
+        out_specs=pl.BlockSpec(
+            (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rows * 128 * 128,
+            bytes_accessed=rows * 128 * 3 + 128 * 128 * 4,
+            transcendentals=0,
+        ),
+    )
+    if cfg.adaptive:
+        if adaptive_scale is None:
+            raise ValueError("adaptive decode requires adaptive_scale")
+        s = adaptive_scale.astype(jnp.float32)
+        pad = rows * BLOCKS_PER_ROW - s.shape[0]
+        if pad:
+            s = jnp.pad(s, (0, pad), constant_values=1.0)
+        s = s.reshape(rows, BLOCKS_PER_ROW)
+        out = pl.pallas_call(
+            _decode_kernel_adaptive,
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            **kwargs,
+        )(z, jnp.asarray(m2), s, jnp.asarray(_packed_ac_mask(n2)))
+    else:
+        out = pl.pallas_call(
+            _decode_kernel,
+            in_specs=[
+                pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            **kwargs,
+        )(z, jnp.asarray(m2))
+    return out.reshape(rows * BLOCKS_PER_ROW, n2)[:B]

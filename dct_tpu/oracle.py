@@ -70,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.oracle_rle_decode.argtypes = [ctypes.c_int, c_ip, c_ip, ctypes.c_int, c_ip]
     lib.oracle_encoded_size.argtypes = [c_ip, c_ip, ctypes.c_int, ctypes.c_int]
     lib.oracle_encoded_size.restype = ctypes.c_int
+    lib.oracle_encode_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        c_up, ctypes.c_int,
+    ]
+    lib.oracle_encode_batch.restype = ctypes.c_longlong
     lib.oracle_block_pipeline.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         c_up, c_ip, c_up, c_ip,
@@ -196,6 +201,19 @@ def encoded_size(values: np.ndarray, runs: np.ndarray,
     v = np.ascontiguousarray(values, np.int32)
     r = np.ascontiguousarray(runs, np.int32)
     return int(lib.oracle_encoded_size(_ip(v), _ip(r), len(v), int(use_huffman)))
+
+
+def encode_batch(pixels: np.ndarray, quality: int = 50, adaptive: bool = False,
+                 use_huffman: bool = True) -> int:
+    """Run the full reference encode over (B, n, n) u8 blocks in one C call;
+    returns total estimated bits. Used for throughput baselining."""
+    lib = _load()
+    b, n = pixels.shape[0], pixels.shape[1]
+    p = np.ascontiguousarray(pixels, np.uint8)
+    return int(
+        lib.oracle_encode_batch(n, quality, int(adaptive), int(use_huffman),
+                                _up(p), b)
+    )
 
 
 def block_pipeline(pixels: np.ndarray, quality: int = 50, adaptive: bool = False,

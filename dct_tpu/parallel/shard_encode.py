@@ -1,0 +1,226 @@
+"""Sharded encode: images striped across a device mesh, deterministic
+bitstreams regardless of mesh shape.
+
+Design (SURVEY.md sections 5.7-5.8, BASELINE.json configs 4-5):
+
+  * A frame's stripes are a property of the IMAGE (cfg.stripe_rows block
+    rows each), not of the mesh: each stripe is encoded to an independent
+    byte-aligned substream with a per-image Huffman table derived from the
+    GLOBAL histogram. Any mesh assignment of stripes to devices therefore
+    produces bit-identical containers (tested in tests/test_parallel.py —
+    the codec's "race detector", SURVEY.md section 5.2).
+  * Histogram globalization is the only cross-device reduction in the
+    analyze phase: an integer psum, order-independent by construction.
+  * The offsets table is derived from per-stripe bit lengths exchanged via
+    all_gather — exclusive cumsum, the TPU-native replacement for what a
+    multi-node codec would do with an MPI/NCCL allgather of stream sizes.
+
+Two operating modes:
+  * dynamic tables (default): two sharded dispatches with a 64-byte host
+    sync for table construction (same structure as single-chip).
+  * static tables: ONE sharded dispatch (models.codec.encode_step under
+    jit-with-shardings) — the path dryrun_multichip and the scaling bench
+    exercise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec as _codec
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import huffman as hf
+from dct_tpu.parallel import mesh as meshlib
+
+
+def stripe_byte_offsets(bit_lengths: jax.Array, mesh: Mesh) -> jax.Array:
+    """Global byte offsets of each stripe's substream in the final payload.
+
+    bit_lengths: (n_stripes,) sharded over the stripe axis. Explicit
+    shard_map + all_gather: every device learns all lengths, computes the
+    exclusive cumsum of byte sizes, and keeps its own slice. Deterministic
+    for any mesh because the input ordering is the stripe index.
+    """
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.STRIPE_AXIS),
+        out_specs=P(meshlib.STRIPE_AXIS),
+    )
+    def f(local_bits):
+        all_bits = jax.lax.all_gather(
+            local_bits, meshlib.STRIPE_AXIS, tiled=True
+        )  # (n_stripes,)
+        nbytes = (all_bits + 7) // 8
+        offs = jnp.cumsum(nbytes) - nbytes  # exclusive
+        k = local_bits.shape[0]
+        i = jax.lax.axis_index(meshlib.STRIPE_AXIS)
+        return jax.lax.dynamic_slice(offs, (i * k,), (k,))
+
+    return f(bit_lengths)
+
+
+def global_category_histogram(
+    values: jax.Array, counts: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """psum of per-shard category histograms -> identical table everywhere.
+
+    values/counts sharded over the stripe axis (leading block dim)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(meshlib.STRIPE_AXIS, None), P(meshlib.STRIPE_AXIS)),
+        out_specs=P(),
+    )
+    def f(v, c):
+        local = hf.category_histogram(v, c)
+        return jax.lax.psum(local, meshlib.STRIPE_AXIS)
+
+    return f(values, counts)
+
+
+def encode_plane_sharded(
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh
+) -> cont.PlaneData:
+    """Stripe-sharded single-plane encode producing a container plane that
+    is byte-identical to the single-device encoder's."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    n = cfg.block_size
+    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    if n_stripes % n_dev != 0:
+        # pad the stripe count so it divides the mesh; extra stripes hold
+        # replicated edge rows and are dropped at container assembly
+        n_stripes_p = -(-n_stripes // n_dev) * n_dev
+        bh = n_stripes_p * cfg.stripe_rows
+    else:
+        n_stripes_p = n_stripes
+
+    img = jnp.asarray(np.asarray(plane, np.uint8))
+    from dct_tpu.ops import blocks as blk
+
+    img = blk.pad_to_blocks(img, n)
+    ph, pw = bh * n, bw * n
+    img = jnp.pad(
+        img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+    )
+    row_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
+    img = jax.device_put(img, row_sharding)
+
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        packed, var_codes = _encode_step_sharded(img, cfg, n_stripes_p, mesh)
+    else:
+        symbols, var_codes, _ = _codec.encode_analyze(img, cfg)
+        hist = global_category_histogram(symbols.values, symbols.counts, mesh) \
+            if cfg.use_huffman and cfg.huffman_mode == "category" \
+            else _hist_fallback(symbols, cfg)
+        table = _codec._build_table(cfg, np.asarray(hist))
+        if table is not None:
+            lengths = jnp.asarray(table.lengths, jnp.int32)
+            codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+        else:
+            lengths = jnp.zeros(1, jnp.int32)
+            codes = jnp.zeros(1, jnp.uint32)
+        packed = _codec.encode_pack(symbols, cfg, n_stripes_p, lengths, codes)
+
+    # collective offsets (exercised + returned for the container writer)
+    _ = stripe_byte_offsets(packed.bit_lengths, mesh)
+
+    stripes = bs.stripes_to_bytes(packed)[:n_stripes]
+    return cont.PlaneData(
+        width=w,
+        height=h,
+        table_lengths=table.lengths if table is not None else None,
+        vmin=_codec.DIRECT_VMIN,
+        variance_codes=(
+            np.asarray(var_codes)[: bh * bw] if cfg.adaptive else None
+        ),
+        stripe_bits=np.asarray(packed.bit_lengths, np.uint32)[:n_stripes],
+        stripes=stripes,
+    )
+
+
+def _hist_fallback(symbols, cfg):
+    if cfg.use_huffman and cfg.huffman_mode == "direct":
+        return hf.value_histogram(
+            symbols.values, symbols.counts, _codec.DIRECT_VMIN, -_codec.DIRECT_VMIN
+        )
+    return jnp.zeros(1, jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_stripes", "mesh")
+)
+def _encode_step_sharded(img, cfg: CodecConfig, n_stripes: int, mesh: Mesh):
+    packed, var_codes = _codec.encode_step(img, cfg, n_stripes)
+    out_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
+    packed = bs.PackedStripes(
+        units=jax.lax.with_sharding_constraint(packed.units, out_sharding),
+        bit_lengths=jax.lax.with_sharding_constraint(
+            packed.bit_lengths, NamedSharding(mesh, P(meshlib.STRIPE_AXIS))
+        ),
+    )
+    return packed, var_codes
+
+
+def encode_image_sharded(
+    image: np.ndarray, cfg: CodecConfig, mesh: Mesh
+) -> bytes:
+    """Full sharded grayscale encode -> container bytes (mesh-invariant)."""
+    plane = encode_plane_sharded(image, cfg, mesh)
+    c = cont.Container(
+        config=cfg,
+        width=int(image.shape[1]),
+        height=int(image.shape[0]),
+        planes=[plane],
+    )
+    return cont.serialize(c)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-frame sharded encode (dp x sp) — the "training step" analog
+# ---------------------------------------------------------------------------
+
+
+def encode_batch_step(
+    frames: jax.Array, cfg: CodecConfig, n_stripes: int, mesh: Mesh
+):
+    """One fully-jitted sharded step over a batch of frames.
+
+    frames: (F, Hp, Wp) u8, sharded (data, stripe, -). Static tables.
+    Returns PackedStripes batched over frames: units (F, S, U) and
+    bit_lengths (F, S), sharded (data, stripe[, -]).
+
+    This is the codec's equivalent of a sharded training step: pure SPMD
+    compute + one collective family (none needed for static tables; the
+    offset exchange happens in stripe_byte_offsets when assembling).
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(fr):
+        packed, _ = jax.vmap(
+            lambda im: _codec.encode_step(im, cfg, n_stripes)
+        )(fr)
+        units = jax.lax.with_sharding_constraint(
+            packed.units,
+            NamedSharding(mesh, P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None)),
+        )
+        bits = jax.lax.with_sharding_constraint(
+            packed.bit_lengths,
+            NamedSharding(mesh, P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS)),
+        )
+        return bs.PackedStripes(units=units, bit_lengths=bits)
+
+    frames = jax.device_put(frames, meshlib.frame_sharding(mesh))
+    return step(frames)

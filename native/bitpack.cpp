@@ -1,0 +1,231 @@
+// bitpack.cpp — native bitstream codec for dct_tpu.
+//
+// The encode side packs bits on the TPU (scatter-based, ops/bitstream.py);
+// this library supplies the host-side pieces that are inherently serial per
+// stream: canonical-Huffman DECODE of stripe substreams (parallelized across
+// stripes with a thread pool) and a reference bit PACKER used for
+// cross-checking. Wire format documented in dct_tpu/ops/bitstream.py and
+// dct_tpu/container.py; behavior must match the Python reference
+// implementations byte-for-byte (asserted in tests/test_entropy_stage.py).
+
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kRunBits = 8;
+
+enum Mode { kCategory = 0, kDirect = 1, kNone = 2 };
+
+// ---- canonical table ------------------------------------------------------
+
+struct CanonicalTable {
+  // Decode via the standard first-code-per-length walk.
+  int max_len = 0;
+  uint32_t first_code[33] = {0};   // first canonical code of each length
+  int first_index[33] = {0};       // index into sorted_symbols
+  int count_by_len[33] = {0};
+  std::vector<int> sorted_symbols; // symbols ordered by (length, symbol)
+
+  void build(const uint8_t* lengths, int n) {
+    for (int l = 1; l <= 32; ++l) count_by_len[l] = 0;
+    sorted_symbols.clear();
+    for (int s = 0; s < n; ++s)
+      if (lengths[s] > 0) count_by_len[lengths[s]]++;
+    max_len = 0;
+    for (int l = 32; l >= 1; --l)
+      if (count_by_len[l]) { max_len = l; break; }
+    // first codes (canonical: codes assigned in (length, symbol) order)
+    uint32_t code = 0;
+    int index = 0;
+    for (int l = 1; l <= max_len; ++l) {
+      first_code[l] = code;
+      first_index[l] = index;
+      code = (code + count_by_len[l]) << 1;
+      index += count_by_len[l];
+    }
+    sorted_symbols.resize(index);
+    int pos = 0;
+    for (int l = 1; l <= max_len; ++l)
+      for (int s = 0; s < n; ++s)
+        if (lengths[s] == l) sorted_symbols[pos++] = s;
+  }
+};
+
+// ---- bit reader ------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* data;
+  uint64_t nbytes;
+  uint64_t pos = 0;  // bit position
+
+  bool ok() const { return pos <= nbytes * 8; }
+
+  inline int read_bit() {
+    uint64_t byte = pos >> 3;
+    if (byte >= nbytes) { pos++; return 0; }
+    int bit = (data[byte] >> (7 - (pos & 7))) & 1;
+    pos++;
+    return bit;
+  }
+
+  inline uint32_t read_bits(int n) {
+    uint32_t v = 0;
+    for (int i = 0; i < n; ++i) v = (v << 1) | (uint32_t)read_bit();
+    return v;
+  }
+
+  inline int decode_symbol(const CanonicalTable& t) {
+    uint32_t code = 0;
+    for (int l = 1; l <= t.max_len; ++l) {
+      code = (code << 1) | (uint32_t)read_bit();
+      int c = t.count_by_len[l];
+      if (c > 0 && code >= t.first_code[l] &&
+          code < t.first_code[l] + (uint32_t)c) {
+        return t.sorted_symbols[t.first_index[l] + (int)(code - t.first_code[l])];
+      }
+    }
+    return -1;
+  }
+};
+
+inline int32_t value_from_category(int cat, uint32_t extra) {
+  if (cat == 0) return 0;
+  uint32_t half = 1u << (cat - 1);
+  if (extra < half) return (int32_t)extra - (int32_t)((1u << cat) - 1);
+  return (int32_t)extra;
+}
+
+void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
+                       int mode, const CanonicalTable* table, int vmin,
+                       int n_alpha, int32_t* out, int* err) {
+  BitReader r{data, nbytes};
+  for (int b = 0; b < bps; ++b) {
+    int32_t* blockp = out + (int64_t)b * n2;
+    int pos = 0;
+    while (pos < n2) {
+      int32_t v = 0;
+      if (mode == kCategory) {
+        int cat = r.decode_symbol(*table);
+        if (cat < 0) { *err = 2; return; }
+        v = value_from_category(cat, cat ? r.read_bits(cat) : 0);
+      } else if (mode == kDirect) {
+        int sym = r.decode_symbol(*table);
+        if (sym < 0) { *err = 2; return; }
+        if (sym == n_alpha) {  // ESC: raw 16-bit two's complement
+          uint32_t raw = r.read_bits(16);
+          v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
+        } else {
+          v = sym + vmin;
+        }
+      } else {
+        uint32_t raw = r.read_bits(16);
+        v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
+      }
+      uint32_t run = r.read_bits(kRunBits);
+      pos += (int)run;
+      if (pos < n2) blockp[pos++] = v;
+    }
+    if (!r.ok()) { *err = 3; return; }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n_stripes independent substreams (offsets[i]..offsets[i+1] bytes
+// each) of bps blocks into out[(stripe*bps + b)*n2 + k]. Returns 0 on
+// success. Stripes run on up to n_threads worker threads.
+int dctbits_unpack_stripes(const uint8_t* blob, const uint64_t* offsets,
+                           int n_stripes, int bps, int n2, int mode,
+                           const uint8_t* table_lengths, int table_size,
+                           int vmin, int32_t* out, int n_threads) {
+  CanonicalTable table;
+  int n_alpha = table_size - 1;  // direct mode: last symbol is ESC
+  if (mode != kNone) table.build(table_lengths, table_size);
+
+  std::vector<int> errs(n_stripes, 0);
+  auto work = [&](int lo, int hi) {
+    for (int s = lo; s < hi; ++s) {
+      decode_one_stripe(blob + offsets[s], offsets[s + 1] - offsets[s], bps,
+                        n2, mode, &table, vmin, n_alpha,
+                        out + (int64_t)s * bps * n2, &errs[s]);
+    }
+  };
+  if (n_threads <= 1 || n_stripes <= 1) {
+    work(0, n_stripes);
+  } else {
+    int t = std::min(n_threads, n_stripes);
+    std::vector<std::thread> pool;
+    int per = (n_stripes + t - 1) / t;
+    for (int i = 0; i < t; ++i) {
+      int lo = i * per, hi = std::min(n_stripes, lo + per);
+      if (lo < hi) pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
+  for (int s = 0; s < n_stripes; ++s)
+    if (errs[s]) return errs[s];
+  return 0;
+}
+
+// Reference host packer for one symbol list. Returns bit length (or -1 if
+// the output buffer is too small). Cross-checks the device scatter packer.
+int64_t dctbits_pack_block_symbols(const int32_t* values, const int32_t* runs,
+                                   int count, int mode,
+                                   const uint8_t* table_lengths,
+                                   const uint32_t* table_codes, int table_size,
+                                   int vmin, uint8_t* out, uint64_t capacity) {
+  uint64_t acc = 0;
+  int nbits = 0;
+  uint64_t outpos = 0;
+  int64_t total_bits = 0;
+  auto put = [&](uint32_t v, int n) -> bool {
+    if (n == 0) return true;
+    acc = (acc << n) | (uint64_t)(v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+    nbits += n;
+    total_bits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      if (outpos >= capacity) return false;
+      out[outpos++] = (uint8_t)((acc >> nbits) & 0xFF);
+    }
+    acc &= (1ull << nbits) - 1;
+    return true;
+  };
+  int n_alpha = table_size - 1;
+  for (int i = 0; i < count; ++i) {
+    int32_t v = values[i];
+    if (mode == kCategory) {
+      uint32_t a = (uint32_t)(v < 0 ? -v : v);
+      int cat = 0;
+      while (a >> cat) cat++;
+      if (!put(table_codes[cat], table_lengths[cat])) return -1;
+      if (cat) {
+        int32_t extra = v > 0 ? v : v + (int32_t)(1u << cat) - 1;
+        if (!put((uint32_t)extra, cat)) return -1;
+      }
+    } else if (mode == kDirect) {
+      int idx = v - vmin;
+      if (idx >= 0 && idx < n_alpha && table_lengths[idx] > 0) {
+        if (!put(table_codes[idx], table_lengths[idx])) return -1;
+      } else {
+        if (!put(table_codes[n_alpha], table_lengths[n_alpha])) return -1;
+        if (!put((uint32_t)v & 0xFFFF, 16)) return -1;
+      }
+    } else {
+      if (!put((uint32_t)v & 0xFFFF, 16)) return -1;
+    }
+    if (!put((uint32_t)runs[i], kRunBits)) return -1;
+  }
+  if (nbits > 0) {
+    if (outpos >= capacity) return -1;
+    out[outpos++] = (uint8_t)((acc << (8 - nbits)) & 0xFF);
+  }
+  return total_bits;
+}
+
+}  // extern "C"

@@ -176,6 +176,42 @@ int oracle_encoded_size(const int *values, const int *runs, int count,
     return bits;
 }
 
+/* Batch driver for fair throughput baselines: runs the full reference
+ * encode pipeline (level shift -> DCT -> variance -> quantize -> RLE ->
+ * Huffman -> size estimate) over nblocks blocks in ONE call, reusing the
+ * contexts the way a real C driver would, so ctypes per-call overhead does
+ * not pollute the measurement. Returns the summed bit-size estimate. */
+long long oracle_encode_batch(int n, int quality, int adaptive,
+                              int use_huffman, const unsigned char *pixels,
+                              int nblocks) {
+    DCTContext *dctx = dct_init(n);
+    QuantContext *qctx = quant_init(n, quality, adaptive);
+    long long total_bits = 0;
+
+    double **in = alloc_array(n, n);
+    double **coeffs = alloc_array(n, n);
+    int **qc = alloc_int_array(n, n);
+
+    for (int b = 0; b < nblocks; ++b) {
+        const unsigned char *p = pixels + (size_t)b * n * n;
+        for (int i = 0; i < n; ++i)
+            for (int j = 0; j < n; ++j)
+                in[i][j] = (double)p[i * n + j] - 128.0;
+        double variance = adaptive ? calculate_block_variance(in, n) : 0.0;
+        dct_forward(dctx, in, coeffs);
+        quantize(qctx, coeffs, qc, variance);
+        EntropyContext *ectx = entropy_init(use_huffman);
+        run_length_encode(ectx, qc, n);
+        if (use_huffman) build_huffman_codes(ectx);
+        total_bits += get_encoded_size(ectx);
+        entropy_free(ectx);
+    }
+
+    free_array(in, n); free_array(coeffs, n); free_int_array(qc, n);
+    dct_free(dctx); quant_free(qctx);
+    return total_bits;
+}
+
 /* ------------------------- full block pipeline --------------------------- */
 
 /*

@@ -1,19 +1,36 @@
 """Test configuration: run JAX on CPU with 8 virtual devices so sharding
 tests (parallel/) exercise a real 8-way mesh without TPU hardware, per
-SURVEY.md section 4 (multi-host testing strategy)."""
+SURVEY.md section 4 (multi-host testing strategy).
+
+Note: the axon TPU harness pins JAX_PLATFORMS=axon through sitecustomize, so
+the env var alone is not enough — jax.config.update after import is the
+authoritative override (it must happen before any backend initialization,
+hence here in conftest before any dct_tpu import).
+"""
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.default_backend() == "cpu", (
+        "tests must run on the CPU backend (8 virtual devices); got "
+        f"{jax.default_backend()}"
+    )
 
 
 @pytest.fixture(scope="session")
@@ -35,14 +52,10 @@ def golden_block() -> np.ndarray:
     )
 
 
-def oracle_or_skip():
-    from dct_tpu import oracle
-
-    if not oracle.available():
-        pytest.skip("C oracle unavailable (no compiler or reference mount)")
-    return oracle
-
-
 @pytest.fixture(scope="session")
 def oracle():
-    return oracle_or_skip()
+    from dct_tpu import oracle as _oracle
+
+    if not _oracle.available():
+        pytest.skip("C oracle unavailable (no compiler or reference mount)")
+    return _oracle

@@ -1,0 +1,117 @@
+"""Sharded-encode tests on the 8-virtual-device CPU mesh.
+
+The determinism tests are the codec's "race detector" (SURVEY.md section
+5.2): identical bits regardless of mesh shape."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec
+from dct_tpu.parallel import mesh as meshlib
+from dct_tpu.parallel import shard_encode
+from dct_tpu.utils import image_io
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def photo():
+    # 128 rows = 16 block rows = 16 stripes at stripe_rows=1
+    return image_io.synthetic_image(128, 96, "photo", seed=9)
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = meshlib.make_mesh()
+        assert m.shape == {"data": 1, "stripe": 8}
+        m2 = meshlib.make_mesh(n_data=2)
+        assert m2.shape == {"data": 2, "stripe": 4}
+        m4 = meshlib.make_mesh(n_data=4, n_stripe=2)
+        assert m4.shape == {"data": 4, "stripe": 2}
+
+
+class TestOffsets:
+    def test_stripe_byte_offsets(self):
+        mesh = meshlib.make_mesh()
+        bits = jnp.asarray([9, 16, 0, 7, 32, 100, 1, 8], jnp.int32)
+        offs = np.asarray(shard_encode.stripe_byte_offsets(bits, mesh))
+        nbytes = (np.asarray(bits) + 7) // 8
+        want = np.cumsum(nbytes) - nbytes
+        np.testing.assert_array_equal(offs, want)
+
+
+class TestDeterminism:
+    @pytest.mark.parametrize("adaptive", (False, True))
+    def test_sharded_equals_single_device(self, photo, adaptive):
+        """8-way stripe-sharded container == single-device container,
+        byte for byte."""
+        cfg = CodecConfig(quality=50, adaptive=adaptive)
+        single = codec.encode(photo, cfg)
+        mesh = meshlib.make_mesh()  # 1 x 8
+        sharded = shard_encode.encode_image_sharded(photo, cfg, mesh)
+        assert sharded == single
+
+    def test_mesh_shapes_agree(self, photo):
+        """2-way vs 4-way vs 8-way stripe sharding: identical bytes."""
+        cfg = CodecConfig(quality=75)
+        outs = []
+        for n in (2, 4, 8):
+            mesh = meshlib.make_mesh(
+                n_data=1, n_stripe=n, devices=jax.devices()[:n]
+            )
+            outs.append(shard_encode.encode_image_sharded(photo, cfg, mesh))
+        assert outs[0] == outs[1] == outs[2]
+
+    def test_static_tables_sharded(self, photo):
+        cfg = CodecConfig(quality=50, static_tables=True)
+        single = codec.encode(photo, cfg)
+        mesh = meshlib.make_mesh()
+        sharded = shard_encode.encode_image_sharded(photo, cfg, mesh)
+        assert sharded == single
+        # and it still decodes
+        rec = codec.decode(sharded)
+        assert rec.shape == photo.shape
+
+    def test_sharded_decodes_correctly(self, photo):
+        cfg = CodecConfig(quality=90, adaptive=True)
+        mesh = meshlib.make_mesh(n_data=2)  # 2 x 4: stripes on 4 devices
+        data = shard_encode.encode_image_sharded(photo, cfg, mesh)
+        rec = codec.decode(data)
+        from dct_tpu.utils import metrics
+
+        assert metrics.psnr(rec, photo) >= 33
+
+
+class TestBatchStep:
+    def test_encode_batch_step(self):
+        """dp x sp sharded batch step: runs, and per-frame payloads match
+        the single-device static encoder's."""
+        cfg = CodecConfig(quality=50, static_tables=True)
+        frames = np.stack(
+            [image_io.synthetic_image(64, 64, "photo", seed=s) for s in range(4)]
+        )
+        mesh = meshlib.make_mesh(n_data=2, n_stripe=4)
+        n_stripes = 8  # 64/8 block rows
+        packed = shard_encode.encode_batch_step(
+            jnp.asarray(frames), cfg, n_stripes, mesh
+        )
+        assert packed.units.shape[0] == 4
+        assert packed.bit_lengths.shape == (4, n_stripes)
+        from dct_tpu.ops import bitstream as bs
+
+        for f in range(4):
+            single, _ = codec.encode_step(jnp.asarray(frames[f]), cfg, n_stripes)
+            np.testing.assert_array_equal(
+                np.asarray(packed.bit_lengths)[f], np.asarray(single.bit_lengths)
+            )
+            got = bs.stripes_to_bytes(
+                bs.PackedStripes(packed.units[f], packed.bit_lengths[f])
+            )
+            want = bs.stripes_to_bytes(single)
+            assert got == want

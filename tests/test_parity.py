@@ -161,9 +161,11 @@ class TestFusedParity:
             ).ravel()[perm]
             np.testing.assert_array_equal(fused, want)
 
-    def test_smooth_image_blocks_exact_q50(self, oracle):
+    def test_smooth_image_blocks_q50(self, oracle):
         """Natural-statistics blocks (smooth gradients + noise) at default
-        quality: zero tolerance."""
+        quality. Ties occur even here (e.g. a true coefficient of exactly
+        9.0 against step 18 is exactly 0.5), so the tie-tolerant contract
+        applies at every quality."""
         rng = np.random.default_rng(42)
         yy, xx = np.mgrid[0:8, 0:8]
         px = []
@@ -180,12 +182,7 @@ class TestFusedParity:
         fused = np.asarray(
             transform.encode_blocks(jnp.asarray(px.reshape(-1, 64)), cfg)
         )
-        perm = tables.zigzag_permutation(8)
-        for b in range(len(px)):
-            want = oracle.quantize(
-                oracle.dct_forward(px[b].astype(np.float64) - 128.0), 50
-            ).ravel()[perm]
-            np.testing.assert_array_equal(fused[b], want)
+        _tie_tolerant_compare(oracle, px, fused, 50)
 
 
 class TestRLEParity:
