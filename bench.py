@@ -68,15 +68,18 @@ def main() -> None:
     @jax.jit
     def step(fr):
         packed, _ = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)
-        return packed.units, packed.bit_lengths
+        # Reduce on device: forces the full pipeline to execute while the
+        # timed fetch stays 4 bytes (block_until_ready alone under-reports
+        # through the axon relay, and fetching the full units buffer would
+        # time the host link instead of the chip).
+        return jnp.sum(packed.units), jnp.sum(packed.bit_lengths)
 
-    out = step(frames_dev)
-    jax.block_until_ready(out)  # compile + warmup
+    float(step(frames_dev)[1])  # compile + warmup
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(frames_dev)
-    jax.block_until_ready(out)
+        float(out[1])  # scalar fetch = true device sync
     dt = (time.perf_counter() - t0) / iters
 
     pixels = FRAMES * H * W

@@ -82,15 +82,19 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
-    symbols = rle.rle_encode(zz)
-    if cfg.use_huffman and cfg.huffman_mode == "category":
-        hist = hf.category_histogram(symbols.values, symbols.counts)
-    elif cfg.use_huffman and cfg.huffman_mode == "direct":
+    if cfg.use_huffman and cfg.huffman_mode == "direct":
+        # direct mode histograms over a 513-bin alphabet; compacted form
+        symbols = rle.rle_encode(zz)
         hist = hf.value_histogram(
             symbols.values, symbols.counts, DIRECT_VMIN, -DIRECT_VMIN
         )
     else:
-        hist = jnp.zeros(1, jnp.int32)
+        # hot path: positional symbols, no compaction sort
+        symbols = rle.rle_encode_positional(zz)
+        if cfg.use_huffman and cfg.huffman_mode == "category":
+            hist = hf.category_histogram_masked(symbols.values, symbols.is_sym)
+        else:
+            hist = jnp.zeros(1, jnp.int32)
     return symbols, var_codes, hist
 
 
@@ -117,6 +121,11 @@ def encode_pack(
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
     cl = cl.reshape(n_stripes, bps * cl.shape[1], 3)
     capacity = bps * bs.UNITS_PER_BLOCK_WORST
+    if jax.default_backend() == "tpu":
+        from dct_tpu.ops.pack_pallas import pack_chunks_pallas
+
+        return pack_chunks_pallas(cv, cl, capacity)
+    # CPU/other backends: XLA scatter packer (fast enough off-TPU)
     return bs.pack_chunks(cv, cl, capacity)
 
 
@@ -153,7 +162,7 @@ def encode_step(
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
-    symbols = rle.rle_encode(zz)
+    symbols = rle.rle_encode_positional(zz)
     packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
     return packed, var_codes
 

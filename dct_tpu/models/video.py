@@ -1,0 +1,110 @@
+"""Batched-frame codec ("video" model family): encode a stack of frames in
+one device dispatch per stage (BASELINE.json config 2: 256 x 1080p batch).
+
+All-intra: every frame is coded independently (the reference pipeline has no
+temporal tools), but the batch shares ONE Huffman table derived from the
+batch-global histogram — the multi-frame analog of the per-image table, and
+the same psum-reduction shape the sharded encoder uses across stripes. Per
+frame containers stay individually decodable.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec as _codec
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import huffman as hf
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chroma"))
+def _analyze_batch(frames: jax.Array, cfg: CodecConfig, chroma: bool = False):
+    symbols, var_codes, hist = jax.vmap(
+        lambda im: _codec.encode_analyze(im, cfg, chroma=chroma)
+    )(frames)
+    return symbols, var_codes, jnp.sum(hist, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes):
+    return jax.vmap(
+        lambda s: _codec.encode_pack(s, cfg, n_stripes, lengths, codes)
+    )(symbols)
+
+
+class VideoCodec:
+    """Encode (F, H, W) u8 frame stacks; returns a list of per-frame
+    containers (each independently decodable with models.codec.decode)."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+        if self.config.chroma != "gray":
+            raise ValueError("VideoCodec currently encodes grayscale stacks")
+
+    def encode(self, frames: np.ndarray) -> list[bytes]:
+        if frames.ndim != 3:
+            raise ValueError(f"expected (F, H, W), got {frames.shape}")
+        cfg = self.config
+        f, h, w = (int(x) for x in frames.shape)
+        bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+        n = cfg.block_size
+
+        from dct_tpu.ops import blocks as blk
+
+        imgs = blk.pad_to_blocks(jnp.asarray(frames, jnp.uint8), n)
+        ph, pw = bh * n, bw * n
+        imgs = jnp.pad(
+            imgs,
+            ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
+            mode="edge",
+        )
+
+        if cfg.static_tables:
+            table = _codec._build_table(cfg, None)
+            packed, var_codes = jax.vmap(
+                lambda im: _codec.encode_step(im, cfg, n_stripes)
+            )(imgs)
+        else:
+            symbols, var_codes, hist = _analyze_batch(imgs, cfg)
+            table = _codec._build_table(cfg, np.asarray(hist))
+            if table is not None:
+                lengths = jnp.asarray(table.lengths, jnp.int32)
+                codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+            else:
+                lengths = jnp.zeros(1, jnp.int32)
+                codes = jnp.zeros(1, jnp.uint32)
+            packed = _pack_batch(symbols, cfg, n_stripes, lengths, codes)
+
+        units = np.asarray(packed.units)
+        bits = np.asarray(packed.bit_lengths)
+        var_np = np.asarray(var_codes) if cfg.adaptive else None
+
+        out = []
+        for i in range(f):
+            stripes = bs.stripes_to_bytes(
+                bs.PackedStripes(units[i], bits[i])
+            )
+            plane = cont.PlaneData(
+                width=w,
+                height=h,
+                table_lengths=table.lengths if table is not None else None,
+                vmin=_codec.DIRECT_VMIN,
+                variance_codes=var_np[i] if cfg.adaptive else None,
+                stripe_bits=bits[i].astype(np.uint32),
+                stripes=stripes,
+            )
+            out.append(
+                cont.serialize(
+                    cont.Container(config=cfg, width=w, height=h, planes=[plane])
+                )
+            )
+        return out
+
+    def decode(self, streams: list[bytes]) -> np.ndarray:
+        return np.stack([_codec.decode(s) for s in streams])

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dct_tpu.ops import huffman as hf
-from dct_tpu.ops.rle import RLEBlocks
+from dct_tpu.ops.rle import RLEBlocks, RLEPositional
 
 # Static worst case per block: 64 symbols x (16 huff + 15 extra + 8 run).
 MAX_BITS_PER_SYMBOL = 16 + 15 + 8
@@ -50,7 +50,7 @@ class PackedStripes(NamedTuple):
 
 
 def symbol_chunks(
-    symbols: RLEBlocks,
+    symbols: RLEBlocks | RLEPositional,
     mode: str,
     cat_lengths: jax.Array | None = None,
     cat_codes: jax.Array | None = None,
@@ -61,12 +61,20 @@ def symbol_chunks(
 ):
     """Per-symbol (chunk_values (B,S,3) uint32, chunk_lens (B,S,3) int32).
 
-    Dead symbol slots (beyond counts) get zero-length chunks.
+    Dead symbol slots get zero-length chunks (they advance neither offsets
+    nor output bits, so both the compacted and positional layouts pack to
+    identical streams). Accepts compacted RLEBlocks (live = slot < count) or
+    positional RLEPositional (live = is_sym) — the hot path uses the latter,
+    skipping compaction entirely.
     """
-    values, runs, counts = symbols
-    B, S = values.shape
-    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    live = s_idx < counts[:, None]
+    if isinstance(symbols, RLEPositional):
+        values, runs, live = symbols.values, symbols.runs, symbols.is_sym
+        B, S = values.shape
+    else:
+        values, runs, counts = symbols
+        B, S = values.shape
+        s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
+        live = s_idx < counts[:, None]
 
     run_v = runs.astype(jnp.uint32)
     run_l = jnp.where(live, hf.RUN_BITS, 0).astype(jnp.int32)
@@ -139,6 +147,191 @@ def pack_chunks(
     buf = buf.at[rows, i0].add(hi, mode="drop")
     buf = buf.at[rows, i1].add(lo, mode="drop")
     return PackedStripes(units=buf[:, :units_capacity], bit_lengths=bit_lengths)
+
+
+def _pack_one_stripe_gather(cv: jax.Array, cl: jax.Array, units_capacity: int):
+    """Scatter-free packing of one stripe's chunk stream (the hot path).
+
+    Instead of scattering each chunk's two 16-bit-unit contributions into
+    the output (XLA lowers scatter to a serial loop on TPU), this inverts
+    the mapping with a prefix-sum identity: contributions to unit u are
+
+        buf[u] = W_hi[K(u)] - W_hi[K(u-1)] + W_lo[K(u-1)] - W_lo[K(u-2)]
+
+    where W_* are inclusive prefix sums of each chunk's hi/lo window halves
+    in stream order and K(u) = #chunks with unit index <= u (one vectorized
+    searchsorted — chunk unit indices are sorted because offsets are a
+    cumsum). Bit-disjointness makes the telescoping sums exact. Prefix sums
+    are split into 8-bit halves so int32 never overflows (255 * C_max with
+    C_max = 192 * blocks_per_stripe keeps us under 2^31 for any stripe below
+    ~43k blocks — asserted by the caller).
+
+    All gathers, cumsums and compares — no scatter anywhere.
+    """
+    cv = cv.astype(jnp.uint32)
+    cl = cl.astype(jnp.int32)
+    csum = jnp.cumsum(cl)
+    offs = csum - cl
+    bits = csum[-1]
+
+    i0 = offs >> 4
+    sh = offs & 15
+    shift = jnp.clip(32 - cl - sh, 0, 31).astype(jnp.uint32)
+    window = jnp.where(cl > 0, cv << shift, jnp.uint32(0))
+    hi = (window >> 16).astype(jnp.int32)
+    lo = (window & 0xFFFF).astype(jnp.int32)
+
+    def prefix(x):
+        a = jnp.cumsum(x >> 8)
+        b = jnp.cumsum(x & 0xFF)
+        z = jnp.zeros(1, jnp.int32)
+        return jnp.concatenate([z, a]), jnp.concatenate([z, b])
+
+    hi_a, hi_b = prefix(hi)
+    lo_a, lo_b = prefix(lo)
+
+    u = jnp.arange(units_capacity, dtype=jnp.int32)
+    k = jnp.searchsorted(i0, u, side="right").astype(jnp.int32)
+    z1 = jnp.zeros(1, jnp.int32)
+    km1 = jnp.concatenate([z1, k[:-1]])   # K(u-1); K(-1) = 0
+    km2 = jnp.concatenate([z1, km1[:-1]])  # K(u-2)
+
+    buf = (
+        ((hi_a[k] - hi_a[km1]) << 8) + (hi_b[k] - hi_b[km1])
+        + ((lo_a[km1] - lo_a[km2]) << 8) + (lo_b[km1] - lo_b[km2])
+    )
+    return buf, bits
+
+
+def pack_chunks_gather(
+    chunk_values: jax.Array, chunk_lens: jax.Array, units_capacity: int
+) -> PackedStripes:
+    """Gather-based packer (see _pack_one_stripe_gather), vmapped over
+    stripes. Produces byte-identical streams to pack_chunks (tested)."""
+    n_stripes = chunk_values.shape[0]
+    cv = chunk_values.reshape(n_stripes, -1)
+    cl = chunk_lens.reshape(n_stripes, -1)
+    if cv.shape[1] * 255 >= 2**31:
+        raise ValueError("stripe too large for 8-bit-split prefix sums")
+    buf, bits = jax.vmap(
+        lambda v, l: _pack_one_stripe_gather(v, l, units_capacity)
+    )(cv, cl)
+    return PackedStripes(units=buf, bit_lengths=bits)
+
+
+def pack_chunks_tiled(
+    chunk_values: jax.Array,
+    chunk_lens: jax.Array,
+    units_capacity: int,
+    tile: int = 256,
+) -> PackedStripes:
+    """Scatter-free, gather-free packer — the production path.
+
+    Key structural bound: a tile of T chunks covers at most T*16 bits = T
+    stream units, so per tile the segment-sum over sorted unit keys is a
+    DENSE local problem:
+
+        H[s, t, u] = sum_c w[s, t, c] * [key[s, t, c] - base[s, t] == u]
+
+    computed as one fused broadcast-compare-reduce (static shapes, pure
+    VPU; XLA fuses the (S, T, tile, SPAN) broadcast into the reduction).
+    Tiles are then combined by a lax.scan of span additions at each tile's
+    base unit — T sequential steps of contiguous (S, SPAN) window adds,
+    which is the only data-dependent placement left. Every alternative was
+    measured and loses: XLA scatter-per-chunk +2.3 s on 16.7 Mpix,
+    searchsorted gathers +46 s (TPU per-element gather ~66 ns).
+
+    Byte-identical to pack_chunks (tested).
+    """
+    n_stripes = chunk_values.shape[0]
+    cv = chunk_values.reshape(n_stripes, -1).astype(jnp.uint32)
+    cl = chunk_lens.reshape(n_stripes, -1).astype(jnp.int32)
+    C = cv.shape[1]
+
+    csum = jnp.cumsum(cl, axis=1)
+    offs = csum - cl
+    bit_lengths = csum[:, -1]
+
+    i0 = offs >> 4
+    sh = offs & 15
+    shift = jnp.clip(32 - cl - sh, 0, 31).astype(jnp.uint32)
+    window = jnp.where(cl > 0, cv << shift, jnp.uint32(0))
+    hi = (window >> 16).astype(jnp.float32)
+    lo = (window & 0xFFFF).astype(jnp.float32)
+
+    C_pad = -(-C // tile) * tile
+    if C_pad != C:
+        pad = C_pad - C
+        i0 = jnp.pad(i0, ((0, 0), (0, pad)), mode="edge")
+        hi = jnp.pad(hi, ((0, 0), (0, pad)))
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+    T = C_pad // tile
+    span = tile + 128  # tile units + lo spill, lane-aligned
+
+    k = i0.reshape(n_stripes, T, tile)
+    whi = hi.reshape(n_stripes, T, tile)
+    wlo = lo.reshape(n_stripes, T, tile)
+    base = k[:, :, 0]  # (S, T)
+    local = k - base[:, :, None]  # in [0, tile]
+
+    u = jnp.arange(span, dtype=jnp.int32)
+    # fused broadcast-compare-reduce; intermediate (S, T, tile, span) never
+    # materializes (reduce fusion)
+    H = jnp.sum(
+        whi[..., None] * (local[..., None] == u), axis=2
+    ) + jnp.sum(
+        wlo[..., None] * ((local[..., None] + 1) == u), axis=2
+    )
+    H = H.astype(jnp.int32)  # (S, T, span); exact: values < 2^16
+
+    # Tree combine: log2(T) levels of pairwise span merges. Merging two
+    # adjacent spans (widths W at bases b0 <= b1, with b1 - b0 <= level
+    # chunk capacity * 16 bits / 16 = level tile units) yields one dense
+    # span of width 2W at base b0 — still local, so the combine never
+    # degenerates to global scatter. Each level is two vmapped dynamic
+    # window adds over all pairs (contiguous rows — no per-element ops).
+    spans = H  # (S, M, W)
+    bases = base  # (S, M)
+    level_tile = tile
+    while spans.shape[1] > 1:
+        S_, M, W = spans.shape
+        if M % 2:
+            spans = jnp.pad(spans, ((0, 0), (0, 1), (0, 0)))
+            bases = jnp.concatenate(
+                [bases, bases[:, -1:] ], axis=1
+            )  # duplicate last base; padded span is all zero
+            M += 1
+        even, odd = spans[:, 0::2], spans[:, 1::2]
+        b_even, b_odd = bases[:, 0::2], bases[:, 1::2]
+        d = b_odd - b_even  # in [0, level_tile]
+        W2 = W + level_tile + 128
+
+        def merge(e_row, o_row, d_row):
+            out = jnp.zeros(W2, jnp.int32).at[:W].set(e_row)
+            cur = jax.lax.dynamic_slice(out, (d_row,), (W,))
+            return jax.lax.dynamic_update_slice(out, cur + o_row, (d_row,))
+
+        spans = jax.vmap(jax.vmap(merge))(even, odd, d)
+        bases = b_even
+        level_tile *= 2
+        # anything beyond capacity is worst-case padding slack — trim to
+        # keep level buffers bounded
+        max_w = units_capacity + 256
+        if spans.shape[2] > max_w:
+            spans = spans[:, :, :max_w]
+
+    U_pad = units_capacity + spans.shape[2] + 128
+    buf = jnp.zeros((n_stripes, U_pad), jnp.int32)
+    # final placement: single span per stripe at its base (= first chunk's
+    # unit, which is 0 for a stream starting at bit 0 — but keep it general)
+    def place(row, srow, brow):
+        cur = jax.lax.dynamic_slice(row, (brow,), (srow.shape[0],))
+        return jax.lax.dynamic_update_slice(row, cur + srow, (brow,))
+
+    buf = jax.vmap(place)(buf, spans[:, 0], bases[:, 0])
+    return PackedStripes(
+        units=buf[:, :units_capacity], bit_lengths=bit_lengths
+    )
 
 
 def stripes_to_bytes(packed: PackedStripes) -> list[bytes]:

@@ -80,6 +80,19 @@ def value_from_category(cat: np.ndarray, extra: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def category_histogram_masked(values: jax.Array, live: jax.Array) -> jax.Array:
+    """Histogram of symbol categories over live symbols (mask form).
+
+    Compare-and-reduce over the 16 bins — no scatter (XLA lowers scatter to
+    a serial loop on TPU; 16 fused reduction channels are pure VPU work).
+    Returns (NUM_CATEGORIES,) int32 — psum-able across shards.
+    """
+    cats = jnp.where(live, category_of(values), -1)
+    bins = jnp.arange(NUM_CATEGORIES, dtype=jnp.int32)
+    eq = cats[..., None] == bins  # (..., 16)
+    return jnp.sum(eq, axis=tuple(range(eq.ndim - 1)), dtype=jnp.int32)
+
+
 def category_histogram(values: jax.Array, counts: jax.Array) -> jax.Array:
     """Histogram of symbol categories over live RLE symbols.
 
@@ -88,10 +101,7 @@ def category_histogram(values: jax.Array, counts: jax.Array) -> jax.Array:
     """
     B, S = values.shape
     s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
-    live = s_idx < counts[:, None]
-    cats = jnp.where(live, category_of(values), NUM_CATEGORIES)  # dead -> overflow bin
-    hist = jnp.zeros(NUM_CATEGORIES + 1, jnp.int32).at[cats.ravel()].add(1)
-    return hist[:NUM_CATEGORIES]
+    return category_histogram_masked(values, s_idx < counts[:, None])
 
 
 def value_histogram(

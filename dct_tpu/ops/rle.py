@@ -47,42 +47,76 @@ class RLEBlocks(NamedTuple):
     counts: jax.Array
 
 
-def rle_encode(zz: jax.Array) -> RLEBlocks:
-    """Zigzag coefficients (B, N^2) int -> RLE symbols, reference-exact.
+class RLEPositional(NamedTuple):
+    """Uncompacted RLE symbols, one slot per zigzag POSITION.
 
-    Fully parallel: two prefix scans + one stable sort along the N^2 axis.
+    The production encode path never compacts: zero-length chunks advance
+    neither bit offsets nor histograms, so the stable-sort compaction in
+    :func:`rle_encode` (needed only for the symbol-array API and reference
+    parity tests) is pure overhead on the hot path.
+
+    values: (B, N^2) int32 — symbol value at emitting positions, else 0.
+    runs:   (B, N^2) int32 — zero-run before the value, else 0.
+    is_sym: (B, N^2) bool  — True where a symbol is emitted.
+    """
+
+    values: jax.Array
+    runs: jax.Array
+    is_sym: jax.Array
+
+    @property
+    def counts(self) -> jax.Array:
+        return jnp.sum(self.is_sym, axis=1).astype(jnp.int32)
+
+
+def rle_encode_positional(zz: jax.Array) -> RLEPositional:
+    """Zigzag coefficients (B, N^2) -> positional RLE symbols.
+
+    Two prefix scans, no sort, no gather — the hot-path encoder.
     """
     B, n2 = zz.shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (B, n2), dimension=1)
     mask = zz != 0
-
-    # Previous-nonzero index via exclusive cumulative max.
     marked = jnp.where(mask, idx, -1)
     pnz_incl = jax.lax.cummax(marked, axis=1)
     pnz = jnp.concatenate(
         [jnp.full((B, 1), -1, jnp.int32), pnz_incl[:, :-1]], axis=1
     )
-
     is_last = idx == (n2 - 1)
-    is_sym = mask | is_last  # last position always emits (entropy.c:228)
+    is_sym = mask | is_last
     terminal_zero = is_last & ~mask
     run = idx - pnz - 1 + terminal_zero.astype(jnp.int32)
+    return RLEPositional(
+        values=jnp.where(is_sym, zz, 0).astype(jnp.int32),
+        runs=jnp.where(is_sym, run, 0).astype(jnp.int32),
+        is_sym=is_sym,
+    )
 
-    counts = jnp.sum(is_sym, axis=1).astype(jnp.int32)
 
-    # Compact symbols to the front: stable sort moves is_sym positions first
-    # while preserving stream order.
+def compact(symbols: RLEPositional) -> RLEBlocks:
+    """Positional -> front-compacted symbol arrays (stable sort on the
+    indicator). Used by the symbol-level API and parity tests."""
+    values, runs, is_sym = symbols.values, symbols.runs, symbols.is_sym
+    B, n2 = values.shape
+    counts = symbols.counts
     order = jnp.argsort(jnp.logical_not(is_sym), axis=1, stable=True)
-    values = jnp.take_along_axis(jnp.where(is_sym, zz, 0), order, axis=1)
-    runs = jnp.take_along_axis(jnp.where(is_sym, run, 0), order, axis=1)
-
+    v = jnp.take_along_axis(values, order, axis=1)
+    r = jnp.take_along_axis(runs, order, axis=1)
     slot = jax.lax.broadcasted_iota(jnp.int32, (B, n2), dimension=1)
     live = slot < counts[:, None]
     return RLEBlocks(
-        values=jnp.where(live, values, 0).astype(jnp.int32),
-        runs=jnp.where(live, runs, 0).astype(jnp.int32),
+        values=jnp.where(live, v, 0).astype(jnp.int32),
+        runs=jnp.where(live, r, 0).astype(jnp.int32),
         counts=counts,
     )
+
+
+def rle_encode(zz: jax.Array) -> RLEBlocks:
+    """Zigzag coefficients (B, N^2) int -> RLE symbols, reference-exact.
+
+    Fully parallel: two prefix scans + one stable sort along the N^2 axis.
+    """
+    return compact(rle_encode_positional(zz))
 
 
 def rle_decode(symbols: RLEBlocks, n2: int) -> jax.Array:

@@ -70,23 +70,25 @@ def stripe_byte_offsets(bit_lengths: jax.Array, mesh: Mesh) -> jax.Array:
 
 
 def global_category_histogram(
-    values: jax.Array, counts: jax.Array, mesh: Mesh
+    values: jax.Array, live: jax.Array, mesh: Mesh
 ) -> jax.Array:
     """psum of per-shard category histograms -> identical table everywhere.
 
-    values/counts sharded over the stripe axis (leading block dim)."""
+    values (B, S) / live mask (B, S) sharded over the stripe axis (leading
+    block dim). Integer psum is order-independent, so the global histogram —
+    and therefore the Huffman table — is identical for every mesh shape."""
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(meshlib.STRIPE_AXIS, None), P(meshlib.STRIPE_AXIS)),
+        in_specs=(P(meshlib.STRIPE_AXIS, None), P(meshlib.STRIPE_AXIS, None)),
         out_specs=P(),
     )
-    def f(v, c):
-        local = hf.category_histogram(v, c)
+    def f(v, m):
+        local = hf.category_histogram_masked(v, m)
         return jax.lax.psum(local, meshlib.STRIPE_AXIS)
 
-    return f(values, counts)
+    return f(values, live)
 
 
 def encode_plane_sharded(
@@ -122,9 +124,17 @@ def encode_plane_sharded(
         packed, var_codes = _encode_step_sharded(img, cfg, n_stripes_p, mesh)
     else:
         symbols, var_codes, _ = _codec.encode_analyze(img, cfg)
-        hist = global_category_histogram(symbols.values, symbols.counts, mesh) \
-            if cfg.use_huffman and cfg.huffman_mode == "category" \
-            else _hist_fallback(symbols, cfg)
+        if cfg.use_huffman and cfg.huffman_mode == "category":
+            from dct_tpu.ops.rle import RLEPositional
+
+            if isinstance(symbols, RLEPositional):
+                live = symbols.is_sym
+            else:
+                s_idx = jnp.arange(symbols.values.shape[1])[None, :]
+                live = s_idx < symbols.counts[:, None]
+            hist = global_category_histogram(symbols.values, live, mesh)
+        else:
+            hist = _hist_fallback(symbols, cfg)
         table = _codec._build_table(cfg, np.asarray(hist))
         if table is not None:
             lengths = jnp.asarray(table.lengths, jnp.int32)

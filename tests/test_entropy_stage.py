@@ -166,6 +166,59 @@ class TestDevicePacker:
         for s in range(4):
             assert device_bytes[s] == host_bytes[s], f"stripe {s} differs"
 
+    @pytest.mark.parametrize("mode", ("category", "direct", "none"))
+    def test_gather_packer_matches_scatter_packer(self, mode):
+        """pack_chunks_gather (prefix-sum/searchsorted, scatter-free hot
+        path) must be byte-identical to pack_chunks, in both compacted and
+        positional symbol layouts."""
+        rng = np.random.default_rng(7)
+        zz = rng.integers(-300, 300, size=(24, 64)).astype(np.int32)
+        zz *= rng.uniform(size=zz.shape) < 0.2
+        compacted = rle.rle_encode(jnp.asarray(zz))
+        positional = rle.rle_encode_positional(jnp.asarray(zz))
+
+        kw = {}
+        if mode == "category":
+            hist = np.asarray(
+                hf.category_histogram(compacted.values, compacted.counts)
+            )
+            t = hf.CanonicalTable.from_frequencies(hist)
+            kw = dict(
+                cat_lengths=jnp.asarray(t.lengths),
+                cat_codes=jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+            )
+        elif mode == "direct":
+            hist = np.asarray(
+                hf.value_histogram(compacted.values, compacted.counts, -255, 255)
+            )
+            t = hf.CanonicalTable.from_frequencies(hist)
+            kw = dict(
+                val_lengths=jnp.asarray(t.lengths),
+                val_codes=jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+                vmin=-255,
+            )
+
+        outs = []
+        for syms in (compacted, positional):
+            cv, cl = bs.symbol_chunks(syms, mode, **kw)
+            cv = jnp.asarray(np.asarray(cv).reshape(4, -1, 3))
+            cl = jnp.asarray(np.asarray(cl).reshape(4, -1, 3))
+            cap = 6 * bs.UNITS_PER_BLOCK_WORST
+            outs.append(bs.stripes_to_bytes(bs.pack_chunks(cv, cl, cap)))
+            outs.append(bs.stripes_to_bytes(bs.pack_chunks_gather(cv, cl, cap)))
+        for other in outs[1:]:
+            assert other == outs[0]
+
+    def test_positional_histogram_matches_compacted(self):
+        rng = np.random.default_rng(8)
+        zz = rng.integers(-500, 500, size=(40, 64)).astype(np.int32)
+        zz *= rng.uniform(size=zz.shape) < 0.3
+        comp = rle.rle_encode(jnp.asarray(zz))
+        pos = rle.rle_encode_positional(jnp.asarray(zz))
+        h1 = np.asarray(hf.category_histogram(comp.values, comp.counts))
+        h2 = np.asarray(hf.category_histogram_masked(pos.values, pos.is_sym))
+        np.testing.assert_array_equal(h1, h2)
+
     def test_direct_mode_esc(self):
         """Values outside [-255, 255] must escape to raw 16-bit and decode
         back exactly."""
