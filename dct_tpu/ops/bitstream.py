@@ -81,8 +81,13 @@ def symbol_chunks(
 
     if mode == "category":
         cats = hf.category_of(values)
-        a_v = jnp.asarray(cat_codes, jnp.uint32)[cats]
-        a_l = jnp.asarray(cat_lengths, jnp.int32)[cats]
+        # 16-bin one-hot contraction instead of per-element table gather
+        # (XLA gathers are per-element on TPU; a fused compare-dot is VPU)
+        oh = (cats[..., None] == jnp.arange(hf.NUM_CATEGORIES)).astype(jnp.int32)
+        a_v = jnp.sum(
+            oh * jnp.asarray(cat_codes, jnp.uint32).astype(jnp.int32), axis=-1
+        ).astype(jnp.uint32)
+        a_l = jnp.sum(oh * jnp.asarray(cat_lengths, jnp.int32), axis=-1)
         b_v = hf.category_extra_bits(values, cats)
         b_l = cats
     elif mode == "direct":

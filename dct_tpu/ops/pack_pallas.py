@@ -31,15 +31,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dct_tpu.ops.bitstream import PackedStripes
 
-TILE = 512  # chunks per in-kernel tile
-SPAN = TILE + 256  # units: TILE + lo spill + <=127 alignment slack, 128-aligned
+TILE = 256  # chunks per in-kernel tile (tunable; see pack_chunks_pallas)
+
+
+def _span(tile: int) -> int:
+    # tile*16 bits = tile units, + lo spill + <=127 alignment slack,
+    # rounded up to the 128-lane grid
+    return -(-(tile + 128) // 128) * 128 + 128
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pack_kernel(bases_ref, keys_ref, whi_ref, wlo_ref, out_ref):
+def _pack_kernel(bases_ref, keys_ref, whi_ref, wlo_ref, out_ref, *, tile):
     """One grid cell = one stripe.
 
     bases_ref: (1, 1, n_tiles) int32 SMEM — 128-ALIGNED base unit per tile
@@ -50,29 +55,36 @@ def _pack_kernel(bases_ref, keys_ref, whi_ref, wlo_ref, out_ref):
     """
     out_ref[:] = jnp.zeros_like(out_ref)
     n_tiles = bases_ref.shape[2]
-    u = jax.lax.broadcasted_iota(jnp.int32, (TILE, SPAN), 1)
+    span = _span(tile)
+    u = jax.lax.broadcasted_iota(jnp.int32, (tile, span), 1)
 
     def body(t, _):
-        off = pl.multiple_of(t * TILE, TILE)
+        off = pl.multiple_of(t * tile, tile)
         base = bases_ref[0, 0, t]
-        k = (keys_ref[0, :, pl.ds(off, TILE)] - base).reshape(TILE, 1)
-        whi = whi_ref[0, :, pl.ds(off, TILE)].reshape(TILE, 1)
-        wlo = wlo_ref[0, :, pl.ds(off, TILE)].reshape(TILE, 1)
+        k = (keys_ref[0, :, pl.ds(off, tile)] - base).reshape(tile, 1)
+        whi = whi_ref[0, :, pl.ds(off, tile)].reshape(tile, 1)
+        wlo = wlo_ref[0, :, pl.ds(off, tile)].reshape(tile, 1)
         contrib = jnp.where(k == u, whi, 0.0) + jnp.where(k + 1 == u, wlo, 0.0)
         h = jnp.sum(contrib, axis=0, keepdims=True).astype(jnp.int32)
         ob = pl.multiple_of(base, 128)
-        cur = out_ref[0, :, pl.ds(ob, SPAN)]
-        out_ref[0, :, pl.ds(ob, SPAN)] = cur + h
+        cur = out_ref[0, :, pl.ds(ob, span)]
+        out_ref[0, :, pl.ds(ob, span)] = cur + h
         return 0
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
 
 
 def pack_chunks_pallas(
-    chunk_values: jax.Array, chunk_lens: jax.Array, units_capacity: int
+    chunk_values: jax.Array, chunk_lens: jax.Array, units_capacity: int,
+    tile: int = TILE,
 ) -> PackedStripes:
     """Drop-in replacement for ops.bitstream.pack_chunks (byte-identical
-    output, tested): (n_stripes, C, 3) chunks -> (n_stripes, U) units."""
+    output, tested): (n_stripes, C, 3) chunks -> (n_stripes, U) units.
+
+    ``tile`` must be a multiple of 128 (Mosaic dynamic lane slices require
+    128-lane granularity in both offset and width)."""
+    if tile % 128:
+        raise ValueError("tile must be a multiple of 128")
     n_stripes = chunk_values.shape[0]
     cv = chunk_values.reshape(n_stripes, -1).astype(jnp.uint32)
     cl = chunk_lens.reshape(n_stripes, -1).astype(jnp.int32)
@@ -91,22 +103,24 @@ def pack_chunks_pallas(
 
     # pad chunk axis to a TILE multiple; padded chunks keep the final key
     # (monotone, zero weight)
-    C_pad = -(-C // TILE) * TILE
+    C_pad = -(-C // tile) * tile
     if C_pad != C:
         pad = C_pad - C
         i0 = jnp.pad(i0, ((0, 0), (0, pad)), mode="edge")
         hi = jnp.pad(hi, ((0, 0), (0, pad)))
         lo = jnp.pad(lo, ((0, 0), (0, pad)))
-    n_tiles = C_pad // TILE
+    n_tiles = C_pad // tile
 
-    # 128-aligned tile bases (SMEM); the <=127 slack lives inside SPAN
-    bases = (i0[:, ::TILE] >> 7) << 7  # (S, n_tiles)
+    # 128-aligned tile bases (SMEM); the <=127 slack lives inside the span
+    bases = (i0[:, ::tile] >> 7) << 7  # (S, n_tiles)
     bases = bases[:, None, :]
 
-    U_pad = -(-(units_capacity + SPAN) // 128) * 128
+    import functools as _ft
+
+    U_pad = -(-(units_capacity + _span(tile)) // 128) * 128
 
     units = pl.pallas_call(
-        _pack_kernel,
+        _ft.partial(_pack_kernel, tile=tile),
         grid=(n_stripes,),
         in_specs=[
             pl.BlockSpec((1, 1, n_tiles), lambda s: (s, 0, 0), memory_space=pltpu.SMEM),
@@ -120,7 +134,7 @@ def pack_chunks_pallas(
         out_shape=jax.ShapeDtypeStruct((n_stripes, 1, U_pad), jnp.int32),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=4 * n_stripes * C_pad * SPAN,
+            flops=4 * n_stripes * C_pad * _span(tile),
             bytes_accessed=n_stripes * (C_pad * 12 + U_pad * 4),
             transcendentals=0,
         ),

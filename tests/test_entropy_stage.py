@@ -209,6 +209,29 @@ class TestDevicePacker:
         for other in outs[1:]:
             assert other == outs[0]
 
+    def test_pallas_packer_matches_reference_packer(self):
+        """The Pallas pack kernel (interpret mode on CPU) is byte-identical
+        to the scatter packer."""
+        from dct_tpu.ops.pack_pallas import pack_chunks_pallas
+
+        rng = np.random.default_rng(11)
+        zz = rng.integers(-200, 200, size=(12, 64)).astype(np.int32)
+        zz *= rng.uniform(size=zz.shape) < 0.3
+        s = rle.rle_encode_positional(jnp.asarray(zz))
+        hist = np.asarray(hf.category_histogram_masked(s.values, s.is_sym))
+        t = hf.CanonicalTable.from_frequencies(hist)
+        cv, cl = bs.symbol_chunks(
+            s, "category",
+            cat_lengths=jnp.asarray(t.lengths),
+            cat_codes=jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+        )
+        cv = jnp.asarray(np.asarray(cv).reshape(3, -1, 3))
+        cl = jnp.asarray(np.asarray(cl).reshape(3, -1, 3))
+        cap = 4 * bs.UNITS_PER_BLOCK_WORST
+        want = bs.stripes_to_bytes(bs.pack_chunks(cv, cl, cap))
+        got = bs.stripes_to_bytes(pack_chunks_pallas(cv, cl, cap))
+        assert got == want
+
     def test_positional_histogram_matches_compacted(self):
         rng = np.random.default_rng(8)
         zz = rng.integers(-500, 500, size=(40, 64)).astype(np.int32)
