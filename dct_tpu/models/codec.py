@@ -139,6 +139,46 @@ def _build_table(cfg: CodecConfig, hist: np.ndarray) -> hf.CanonicalTable | None
     return hf.CanonicalTable.from_frequencies(hist)
 
 
+def _fused_kernel_ok(cfg: CodecConfig) -> bool:
+    """Whether the single fused encode kernel applies (TPU + 8x8 blocks +
+    category entropy). Other configs use the staged pipeline."""
+    return (
+        cfg.use_pallas
+        and jax.default_backend() == "tpu"
+        and cfg.block_size == 8
+        and cfg.use_huffman
+        and cfg.huffman_mode == "category"
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes", "chroma"))
+def encode_fused_step(
+    image: jax.Array,
+    cfg: CodecConfig,
+    n_stripes: int,
+    lengths: jax.Array,
+    codes: jax.Array,
+    chroma: bool = False,
+):
+    """Single-kernel encode: padded plane + canonical table -> packed
+    stripes (ops/fused_encode_pallas.py). Byte-identical to the staged
+    pipeline; HBM sees only pixels in and units out."""
+    from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
+
+    pixels = blk.image_to_blocks(image, cfg.block_size)
+    var_codes = None
+    scale = None
+    if cfg.adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        var_codes = quant.variance_code(var)
+        scale = quant.scale_from_variance_code(var_codes)
+    packed = encode_stripes_fused(
+        pixels, cfg, n_stripes, lengths, codes,
+        adaptive_scale=scale, chroma=chroma,
+    )
+    return packed, var_codes
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes", "chroma"))
 def encode_step(
     image: jax.Array, cfg: CodecConfig, n_stripes: int, chroma: bool = False
@@ -153,6 +193,8 @@ def encode_step(
     table = hf.default_category_table()
     lengths = jnp.asarray(table.lengths, jnp.int32)
     codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+    if _fused_kernel_ok(cfg):
+        return encode_fused_step(image, cfg, n_stripes, lengths, codes, chroma)
     n = cfg.block_size
     pixels = blk.image_to_blocks(image, n)
     var_codes = None
@@ -195,7 +237,14 @@ def encode_plane(
         else:
             lengths = jnp.zeros(1, jnp.int32)
             codes = jnp.zeros(1, jnp.uint32)
-        packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
+        if _fused_kernel_ok(cfg):
+            # second dispatch re-runs transform+RLE inside the fused kernel
+            # with the real table — still cheaper than the staged pack
+            packed, var_codes = encode_fused_step(
+                img, cfg, n_stripes, lengths, codes, chroma
+            )
+        else:
+            packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
     stripes = bs.stripes_to_bytes(packed)
     return cont.PlaneData(
         width=w,
