@@ -2,9 +2,17 @@
 """Headline benchmark: single-chip encode throughput (Mpix/s).
 
 Workload: BASELINE.json config 2 shape — a batch of grayscale 1080p frames
-through the FULL device encode pipeline (fused Pallas DCT+quant+zigzag
-matmul, RLE prefix scans, scatter bit-pack, static category table), timed
-with block_until_ready.
+through the FULL device encode pipeline (the fused Pallas stripe kernel:
+DCT+quant+zigzag MXU matmul, RLE prefix scans, one-hot MXU bit-pack, static
+category table).
+
+Timing: the axon tunnel costs ~32 ms per dispatch (see
+benchmarks/overhead.py), comparable to the work itself at this batch size.
+The benchmark therefore jits the encode step inside an on-device
+lax.fori_loop at two trip counts and reports the DELTA throughput
+(T(K) - T(1)) / (K - 1) — pure chip time, dispatch overhead cancelled. The
+loop perturbs the input each trip (XOR with the trip parity) so XLA cannot
+hoist or CSE the body.
 
 Baseline: the C reference has no benchmarks of its own (BASELINE.md), so
 vs_baseline compares against the reference's own full encode pipeline
@@ -65,22 +73,36 @@ def main() -> None:
     )
     frames_dev = jnp.asarray(frames)
 
-    @jax.jit
-    def step(fr):
-        packed, _ = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)
-        # Reduce on device: forces the full pipeline to execute while the
-        # timed fetch stays 4 bytes (block_until_ready alone under-reports
-        # through the axon relay, and fetching the full units buffer would
-        # time the host link instead of the chip).
-        return jnp.sum(packed.units), jnp.sum(packed.bit_lengths)
+    def make_step(k: int):
+        @jax.jit
+        def run(fr):
+            def body(i, acc):
+                f = fr ^ (i & 1).astype(jnp.uint8)  # defeat CSE/hoisting
+                packed, _ = jax.vmap(
+                    lambda im: codec.encode_step(im, cfg, n_stripes)
+                )(f)
+                # Reduce on device: forces the full pipeline to execute
+                # while the timed fetch stays 4 bytes (block_until_ready
+                # alone under-reports through the axon relay, and fetching
+                # the units buffer would time the host link, not the chip).
+                return acc + jnp.sum(packed.bit_lengths)
 
-    float(step(frames_dev)[1])  # compile + warmup
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(frames_dev)
-        float(out[1])  # scalar fetch = true device sync
-    dt = (time.perf_counter() - t0) / iters
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    K = 9
+    step1, stepk = make_step(1), make_step(K)
+
+    def timed(fn, iters=6):
+        float(fn(frames_dev))  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            float(fn(frames_dev))  # scalar fetch = true device sync
+        return (time.perf_counter() - t0) / iters
+
+    t1, tk = timed(step1), timed(stepk)
+    dt = max(tk - t1, 1e-9) / (K - 1)
 
     pixels = FRAMES * H * W
     mpix = pixels / dt / 1e6

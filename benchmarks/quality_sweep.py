@@ -10,6 +10,13 @@ Usage: python benchmarks/quality_sweep.py [--size 512x512]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:  # allow `python benchmarks/<x>.py` from anywhere
+    _sys.path.insert(0, _REPO_ROOT)
+
 import argparse
 import sys
 

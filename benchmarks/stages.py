@@ -12,6 +12,13 @@ Usage: python benchmarks/stages.py [--frames 8] [--size 1920x1088]
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:  # allow `python benchmarks/<x>.py` from anywhere
+    _sys.path.insert(0, _REPO_ROOT)
+
 import argparse
 import sys
 import time

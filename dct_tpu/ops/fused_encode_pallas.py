@@ -14,14 +14,27 @@ lanes):
      prefix scans along the two 64-lane block segments via log-step
      pltpu.roll + position masks (Mosaic has no cumsum/cummax primitive).
   3. categories, canonical codes (16 selects against SMEM tables), JPEG
-     extra bits, fixed 8-bit runs -> three chunk planes (value, length).
+     extra bits, fixed 8-bit runs. The three per-symbol fields are
+     CONTIGUOUS in the stream, so they fuse into ONE <=39-bit window
+     V = (code<<cat | extra)<<8 | run at the symbol's bit offset,
+     materialized as the four 16-bit digits of a 64-bit frame (emulated
+     with two 32-bit contributions — Mosaic lanes are 32-bit).
   4. stream bit offsets: lane-segment prefix + per-row totals + sublane
      log-roll prefix across rows — all in registers/VMEM.
-  5. pack: per row, the 384 chunks span at most 312 units (2 blocks x
-     worst-case 2496 bits); a dense one-hot multiply-reduce accumulates
-     them into the stripe's unit buffer at the row's 128-aligned base
-     (ops/pack_pallas.py technique; Mosaic dynamic lane offsets must be
-     128-multiples, the slack lives inside the 512-unit span).
+  5. pack: per row, one one-hot matrix A[p,j] = (unit(p) == j) over the
+     <=512-unit row span serves all four digit planes: a single
+     (8,128)@(128,512) MXU matmul scatters+reduces them, and digits d>0
+     land via d-lane rolls of the product rows. The digits are stored as
+     hi/lo BYTES (exact in bf16) so the matmul runs in ONE default-
+     precision bf16 pass with f32 accumulation (sums < 2^15 — exact),
+     recombined as hi*256+lo afterwards. A and the byte matrix stay f32
+     in VMEM (v5e has no 16-bit compare and Mosaic restricts 16-bit
+     dynamic-offset loads); the DEFAULT-precision matmul's internal
+     f32->bf16 rounding is exact for 0/1 and byte values. This replaces
+     per-plane f32 one-hot multiply-reduces (~6x less VPU work, 6x fewer
+     MXU passes). Mosaic dynamic lane offsets must be 128-multiples, so
+     the row base is aligned down and the slack lives inside the 512-unit
+     span.
 
 Bitstreams are byte-identical to the XLA pipeline (tested), so CPU tests
 and TPU production produce the same containers.
@@ -54,7 +67,7 @@ def _round_half_away(x):
 
 def _fused_kernel(
     len_ref, code_ref, px_ref, m_ref, b_ref, scale_ref,
-    units_ref, bits_ref, scr_k, scr_w, scr_base,
+    units_ref, bits_ref, scr_k, scr_d, scr_w8, scr_base,
     *, n_live_blocks: int, adaptive: bool, run_bits: int,
 ):
     """One grid cell = one stripe. See module docstring.
@@ -64,8 +77,12 @@ def _fused_kernel(
     m_ref:     (128, 128) f32; b_ref: (1, 128) f32
     scale_ref: (1, R, 2) f32 — adaptive quantize-divisor scale (ones if off)
     units_ref: (1, 1, U_pad) i32; bits_ref: (1, 1, 1) i32 SMEM
-    scr_k:     (3R, 128) i32 — chunk unit keys, plane-major [A|B|C]
-    scr_w:     (6R, 128) f32 — hi/lo window halves [hiA|loA|hiB|loB|hiC|loC]
+    scr_k:     (R, 128) i32 — per-symbol first unit index (off >> 4)
+    scr_d:     (8R, 128) f32 — hi/lo bytes of the 4 frame digits,
+               plane-major [d0hi|d0lo|d1hi|d1lo|...] (f32 storage: Mosaic
+               dynamic sublane offsets are unrestricted only for 32-bit;
+               cast to bf16 at the per-row copy)
+    scr_w8:    (8, 128) f32 — per-row digit-byte matrix fed to the MXU
     scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
     """
     R = px_ref.shape[1]
@@ -82,10 +99,15 @@ def _fused_kernel(
     y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + b_ref[:]
     if adaptive:
-        s = pltpu.repeat(scale_ref[0], 64, axis=1)  # (R, 128)
-        recip = pl.reciprocal(s, approx=False)
-        ac = (pos != 0).astype(jnp.float32)
-        y = y * (1.0 + ac * (recip - 1.0))
+        # scale_ref carries the RECIPROCAL adaptive scale, computed once in
+        # XLA; one multiply + select keeps rounding bit-identical to the
+        # einsum path (no compiler-dependent FMA contraction). Expand
+        # (R, 2) -> (R, 128) by half-select — pltpu.repeat TILES (abab...),
+        # it does not element-repeat.
+        r = jnp.where(
+            half == 0, scale_ref[0][:, 0:1], scale_ref[0][:, 1:2]
+        )  # (R, 128)
+        y = jnp.where(pos != 0, y * r, y)
     zz = _round_half_away(y).astype(jnp.int32)
 
     # ---- 2. RLE (segmented scans) ----------------------------------------
@@ -137,49 +159,67 @@ def _fused_kernel(
     bits_ref[0, 0, 0] = jnp.max(rp)
 
     block_base = jnp.where(half == 0, rp_ex, rp_ex + bt0)  # (R, 128) bcast
-    off_a = block_base + pex
-    off_b = off_a + la
-    off_c = off_b + lb
+    off = block_base + pex  # bit offset of the symbol's fused window
 
-    # ---- windows per chunk plane ------------------------------------------
-    def plane(off, val, ln, idx):
-        i0 = off >> 4
-        sh = off & 15
-        shift = jnp.clip(32 - ln - sh, 0, 31).astype(jnp.uint32)
-        w = jnp.where(ln > 0, val.astype(jnp.uint32) << shift, jnp.uint32(0))
-        scr_k[pl.ds(idx * R, R), :] = i0
-        # (Mosaic lacks u32->f32; both halves are < 2^16 so int32 is exact)
-        scr_w[pl.ds(2 * idx * R, R), :] = (
-            (w >> 16).astype(jnp.int32).astype(jnp.float32)
-        )
-        scr_w[pl.ds((2 * idx + 1) * R, R), :] = (
-            (w & 0xFFFF).astype(jnp.int32).astype(jnp.float32)
+    # ---- fused window digits ----------------------------------------------
+    # V = (code<<cat | extra)<<8 | run, L3 = t3 <= 39 bits, placed at frame
+    # bits [sh, sh+L3) of a 64-bit MSB-first frame starting at unit off>>4.
+    # Emulate the 64-bit frame with two 32-bit contributions:
+    #   T = code<<cat | extra (< 2^31) shifted by nT = 72 - sh - L3
+    #   run                   (< 2^8)  shifted by nR = 64 - sh - L3
+    # Digit j = frame bits [16j, 16j+16) = (frame >> (48 - 16j)) & 0xFFFF.
+    sh = off & 15
+    T = jnp.where(is_sym, (ca << lb) | bv, 0)
+    nT = 72 - sh - t3
+    nR = 64 - sh - t3
+
+    def digit(x, n, j):
+        # (x << n) >> (48 - 16 j) & 0xFFFF with lane-dynamic n, overflow-free
+        m = n - 48 + 16 * j
+        left = (x << jnp.clip(m, 0, 15)) & 0xFFFF
+        right = (x >> jnp.clip(-m, 0, 31)) & 0xFFFF
+        return jnp.where(
+            m >= 16, 0, jnp.where(m >= 0, left, jnp.where(-m >= 32, 0, right))
         )
 
-    plane(off_a, ca, la, 0)
-    plane(off_b, bv, lb, 1)
-    plane(off_c, run, lc, 2)
+    scr_k[:] = off >> 4
+    for j in range(4):
+        d = digit(run, nR, j)
+        if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
+            d = d | digit(T, nT, j)
+        scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
+        scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
     scr_base[:] = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
     u = jax.lax.broadcasted_iota(jnp.int32, (128, ROW_SPAN), 1)
 
-    def body(r, _):
+    def one_row(r):
         base = scr_base[r, 0]
         ob = pl.multiple_of(base, 128)
-        h = jnp.zeros((1, ROW_SPAN), jnp.float32)
-        for p in range(3):
-            k = (scr_k[pl.ds(p * R + r, 1), :] - base).reshape(128, 1)
-            whi = scr_w[pl.ds(2 * p * R + r, 1), :].reshape(128, 1)
-            wlo = scr_w[pl.ds((2 * p + 1) * R + r, 1), :].reshape(128, 1)
-            contrib = jnp.where(k == u, whi, 0.0) + jnp.where(k + 1 == u, wlo, 0.0)
-            h = h + jnp.sum(contrib, axis=0, keepdims=True)
+        k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
+        a = (k == u).astype(jnp.float32)  # one one-hot serves all 4 digits
+        for j in range(8):
+            scr_w8[pl.ds(j, 1), :] = scr_d[pl.ds(j * R + r, 1), :]
+        out = jnp.dot(
+            scr_w8[:], a, preferred_element_type=jnp.float32
+        )  # (8, ROW_SPAN): rows 2d/2d+1 = digit d hi/lo bytes
+        h = out[0:1] * 256.0 + out[1:2]
+        for j in range(1, 4):  # digit j lands j units after the symbol's i0
+            h = h + pltpu.roll(
+                out[2 * j : 2 * j + 1] * 256.0 + out[2 * j + 1 : 2 * j + 2],
+                j, axis=1,
+            )
         cur = units_ref[0, :, pl.ds(ob, ROW_SPAN)]
         units_ref[0, :, pl.ds(ob, ROW_SPAN)] = cur + h.astype(jnp.int32)
+
+    def body(r2, _):
+        one_row(2 * r2)
+        one_row(2 * r2 + 1)
         return 0
 
-    jax.lax.fori_loop(0, R, body, 0)
+    jax.lax.fori_loop(0, R // 2, body, 0)
 
 
 def encode_stripes_fused(
@@ -215,10 +255,11 @@ def encode_stripes_fused(
     if cfg.adaptive:
         if adaptive_scale is None:
             raise ValueError("adaptive fused encode requires adaptive_scale")
-        s = adaptive_scale.reshape(n_stripes, bps)
+        # reciprocal in XLA (shared rounding with the einsum path)
+        s = (1.0 / adaptive_scale.astype(jnp.float32)).reshape(n_stripes, bps)
         if pad_blocks:
             s = jnp.pad(s, ((0, 0), (0, pad_blocks)), constant_values=1.0)
-        s = s.reshape(n_stripes, R, 2).astype(jnp.float32)
+        s = s.reshape(n_stripes, R, 2)
     else:
         s = jnp.ones((n_stripes, R, 2), jnp.float32)
 
@@ -255,13 +296,15 @@ def encode_stripes_fused(
             jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((3 * R, 128), jnp.int32),
-            pltpu.VMEM((6 * R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.int32),
+            pltpu.VMEM((8 * R, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((R, 1), jnp.int32),
         ],
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=n_stripes * (2 * R * 128 * 128 * 6 + R * 3 * 128 * ROW_SPAN * 4),
+            flops=n_stripes
+            * (2 * R * 128 * 128 * 6 + R * (2 * 8 * 128 * ROW_SPAN + 2 * 128 * ROW_SPAN)),
             bytes_accessed=n_stripes * (R * 128 + U_pad * 4),
             transcendentals=0,
         ),

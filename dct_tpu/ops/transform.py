@@ -118,9 +118,13 @@ def encode_blocks(
             raise ValueError("adaptive quantization requires block_variance")
         ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # (N^2,), 0 at DC
         # quantize divides by (q * s) for AC -> multiply the q-normalized
-        # coefficient by 1/s (quantization.c:190, :124).
-        scale = 1.0 + ac[None, :] * (1.0 / s[:, None] - 1.0)
-        y = y * scale
+        # coefficient by 1/s (quantization.c:190, :124). Applied as ONE
+        # multiply + select (never an add/mul chain a compiler could fuse
+        # into an FMA) so XLA and the Mosaic kernels round identically —
+        # the byte-identity contract between the einsum path and the fused
+        # Pallas encode kernel depends on this.
+        r = (1.0 / s)[:, None]
+        y = jnp.where(ac[None, :] != 0, y * r, y)
     return round_half_away(y).astype(jnp.int32)
 
 
@@ -154,9 +158,9 @@ def decode_blocks(
         ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
         # Correct adaptive dequant multiplies AC by (q * s); M already carries
         # q, so apply the extra s on AC inputs (quantization.c:193 double-
-        # inverts to the same result — SURVEY.md B1 analysis).
-        scale = 1.0 + ac[None, :] * (s[:, None] - 1.0)
-        z = z * scale
+        # inverts to the same result — SURVEY.md B1 analysis). One multiply +
+        # select, for the same cross-compiler bit-identity as encode_blocks.
+        z = jnp.where(ac[None, :] != 0, z * s[:, None], z)
     y = jnp.dot(z, jnp.asarray(m), precision=_PREC) + b  # b carries the +128
     rec = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.uint8)
     return rec.reshape(z.shape[0], cfg.n2)

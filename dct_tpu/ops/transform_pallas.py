@@ -77,6 +77,16 @@ def _packed_ac_mask(n2: int):
     return mask
 
 
+def _expand_block_scale(s):
+    """(ROWS, 2) per-block scalar -> (ROWS, 128): col j gets s[:, j >> 6].
+
+    NOT pltpu.repeat — that tiles (abab...) instead of element-repeating.
+    """
+    rows = s.shape[0]
+    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1) >> 6
+    return jnp.where(half == 0, s[:, 0:1], s[:, 1:2])
+
+
 def _encode_kernel(x_ref, m_ref, b_ref, o_ref):
     # Mosaic has no direct u8->f32 cast; widen through int32 (free on VPU).
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
@@ -89,11 +99,14 @@ def _encode_kernel_adaptive(x_ref, m_ref, b_ref, s_ref, mask_ref, o_ref):
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + b_ref[:]
-    # s_ref: (TILE_ROWS, 2) per-block quantize-divisor scale; expand each
-    # block's scalar across its 64 columns and skip DC via the mask.
-    s = pltpu.repeat(s_ref[:], 64, axis=1)  # (TILE_ROWS, 128)
-    recip = pl.reciprocal(s, approx=False)
-    y = y * (1.0 + mask_ref[:] * (recip - 1.0))
+    # s_ref: (TILE_ROWS, 2) per-block RECIPROCAL adaptive scale, computed
+    # once in XLA so every path shares the exact division result; applied
+    # as one multiply + select (no add/mul chain a compiler could contract
+    # into an FMA) — the XLA/Mosaic byte-identity contract depends on it.
+    # Expand (TILE_ROWS, 2) -> (TILE_ROWS, 128) by half-select:
+    # pltpu.repeat TILES (abab...), it does not element-repeat.
+    r = _expand_block_scale(s_ref[:])
+    y = jnp.where(mask_ref[:] != 0, y * r, y)
     o_ref[:] = round_half_away(y).astype(jnp.int16)
 
 
@@ -107,8 +120,8 @@ def _decode_kernel(z_ref, m_ref, o_ref):
 
 def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
     z = z_ref[:].astype(jnp.float32)
-    s = pltpu.repeat(s_ref[:], 64, axis=1)
-    z = z * (1.0 + mask_ref[:] * (s - 1.0))
+    s = _expand_block_scale(s_ref[:])
+    z = jnp.where(mask_ref[:] != 0, z * s, z)
     y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + 128.0
     # Mosaic lacks f32->u8; round-trip through int32 (exact for [0,255]).
@@ -169,7 +182,8 @@ def encode_blocks_pallas(
     if cfg.adaptive:
         if adaptive_scale is None:
             raise ValueError("adaptive encode requires adaptive_scale")
-        s = adaptive_scale.astype(jnp.float32)
+        # reciprocal in XLA (shared rounding with the einsum path)
+        s = 1.0 / adaptive_scale.astype(jnp.float32)
         pad = rows * BLOCKS_PER_ROW - s.shape[0]
         if pad:
             s = jnp.pad(s, (0, pad), constant_values=1.0)

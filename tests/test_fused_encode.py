@@ -1,0 +1,88 @@
+"""The fused encode stripe kernel (ops/fused_encode_pallas.py) must be
+byte-identical to the staged XLA pipeline (transform -> positional RLE ->
+symbol_chunks -> pack_chunks) for every config it claims to handle.
+
+Runs the Pallas kernel in interpret mode on CPU, so the semantics of the
+fused RLE scans / window-digit math / one-hot MXU pack are validated on
+every test run, not only on TPU hardware.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import huffman as hf
+from dct_tpu.ops import quant, rle, transform
+from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
+
+
+def _staged(pixels, cfg, n_stripes, lengths, codes, scale):
+    zz = transform.encode_blocks(pixels, cfg, adaptive_scale=scale)
+    symbols = rle.rle_encode_positional(zz)
+    return codec.encode_pack(symbols, cfg, n_stripes, lengths, codes)
+
+
+def _table():
+    t = hf.default_category_table()
+    return (
+        jnp.asarray(t.lengths, jnp.int32),
+        jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+    )
+
+
+@pytest.mark.parametrize("bps", [8, 9, 30])  # even + odd blocks per stripe
+@pytest.mark.parametrize("adaptive", [False, True])
+@pytest.mark.parametrize("quality", [10, 50, 95])
+def test_fused_matches_staged(bps, adaptive, quality):
+    cfg = CodecConfig(quality=quality, adaptive=adaptive, static_tables=True)
+    n_stripes = 3
+    nb = n_stripes * bps
+    rng = np.random.default_rng(nb * quality + adaptive)
+    # Controlled per-block variance: uniform-random u8 blocks all saturate
+    # the variance clamp (var >> 1000 -> scale exactly 1.0), which made the
+    # adaptive path vacuous. Mix amplitudes so scales actually differ.
+    base = rng.integers(40, 216, (nb, 1)).astype(np.float64)
+    amp = (np.arange(nb) % 9).reshape(nb, 1) * 7.0  # per-block detail level
+    px = np.clip(base + rng.normal(0, 1, (nb, 64)) * amp, 0, 255)
+    pixels = jnp.asarray(px.astype(np.uint8))
+
+    scale = None
+    if adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+
+    lengths, codes = _table()
+    want = _staged(pixels, cfg, n_stripes, lengths, codes, scale)
+    got = encode_stripes_fused(
+        pixels, cfg, n_stripes, lengths, codes, adaptive_scale=scale
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
+
+
+def test_fused_extreme_pixels():
+    """All-extreme blocks drive max-magnitude coefficients (largest
+    categories / longest windows) plus all-zero AC tails (terminal-zero
+    symbols) through the window-digit path."""
+    cfg = CodecConfig(quality=100, static_tables=True)  # q100: divisor 1
+    checker = (
+        (np.indices((8, 8)).sum(0) & 1) * 255
+    ).astype(np.uint8).reshape(1, 64)
+    flat0 = np.zeros((1, 64), np.uint8)
+    flat255 = np.full((1, 64), 255, np.uint8)
+    pixels = jnp.asarray(np.concatenate([checker, flat0, flat255, checker]))
+
+    lengths, codes = _table()
+    want = _staged(pixels, cfg, 2, lengths, codes, None)
+    got = encode_stripes_fused(pixels, cfg, 2, lengths, codes)
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
