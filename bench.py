@@ -77,7 +77,10 @@ def main() -> None:
         @jax.jit
         def run(fr):
             def body(i, acc):
-                f = fr ^ (i & 1).astype(jnp.uint8)  # defeat CSE/hoisting
+                # every trip sees distinct data so no two loop bodies can
+                # ever be CSE'd/collapsed by XLA (i & 1 would leave only
+                # two unique bodies)
+                f = fr ^ (i & 255).astype(jnp.uint8)
                 packed, _ = jax.vmap(
                     lambda im: codec.encode_step(im, cfg, n_stripes)
                 )(f)

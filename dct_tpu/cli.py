@@ -132,6 +132,35 @@ def cmd_roundtrip(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    from dct_tpu.models import recovery
+
+    bad = recovery.verify(open(args.input, "rb").read())
+    if bad:
+        print(f"{args.input}: CORRUPT stripes {bad}")
+        return 1
+    print(f"{args.input}: all stripes OK")
+    return 0
+
+
+def cmd_repair(args) -> int:
+    from dct_tpu.models import recovery
+    from dct_tpu.utils import image_io
+
+    data = open(args.input, "rb").read()
+    src = image_io.read_image(args.source)
+    bad = recovery.verify(data)
+    if not bad:
+        print(f"{args.input}: nothing to repair")
+        return 0
+    fixed = recovery.repair(data, src, stripes=bad)
+    out = args.output or args.input
+    with open(out, "wb") as f:
+        f.write(fixed)
+    print(f"{args.input}: re-encoded stripes {bad} -> {out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -185,6 +214,18 @@ def main(argv=None) -> int:
     p.add_argument("input")
     _add_codec_args(p)
     p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("verify", help="per-stripe integrity scan of a .tpdc")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_verify)
+
+    p = sub.add_parser(
+        "repair", help="re-encode corrupt stripes from the source image"
+    )
+    p.add_argument("input"); p.add_argument("source")
+    p.add_argument("-o", "--output", default=None,
+                   help="write here instead of in place")
+    p.set_defaults(fn=cmd_repair)
 
     p = sub.add_parser("bench", help="encode throughput")
     p.add_argument("--size", default="1920x1088")

@@ -1,0 +1,223 @@
+"""Per-stripe integrity, repair, and random-access decode.
+
+SURVEY.md sections 5.3/5.4: the reference has no failure handling or
+serialization at all (its only failure mode is exit() on malloc failure,
+utils.c:12); in this framework the TPDC container's per-stripe independent
+substreams ARE the checkpoint/recovery unit. This module turns that design
+property into user-facing operations:
+
+  * verify(data)        — integrity scan: entropy-decode every stripe
+                          independently and check it against the recorded
+                          bit length (a decode that raises, overruns, or
+                          consumes a different number of bits than the
+                          container records is corrupt).
+  * repair(data, src)   — re-encode ONLY the damaged stripes from the
+                          source image and splice them in. Byte-identical
+                          to a from-scratch encode (tested) because stripe
+                          substreams share no state: this is the
+                          resume-after-failure story — an interrupted or
+                          partially corrupted encode never redoes finished
+                          stripes.
+  * decode_region(data, row0, row1)
+                        — random access: decode only the stripes that
+                          overlap a row range (seek/parallel consumers).
+
+Grayscale (single-plane) containers; color planes carry subsampled chroma
+whose source-pixel mapping lives in models/color.py.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import blocks as blk
+from dct_tpu.ops import huffman as hf
+from dct_tpu.ops import quant, rle, transform
+
+
+def _require_gray(c: cont.Container) -> cont.PlaneData:
+    if c.config.chroma != "gray":
+        raise NotImplementedError(
+            "recovery operations support grayscale containers"
+        )
+    return c.planes[0]
+
+
+def _geometry(p: cont.PlaneData, cfg: CodecConfig):
+    bh, bw, n_stripes = codec._padded_grid(p.height, p.width, cfg)
+    bps = (bh // n_stripes) * bw  # blocks per stripe
+    return bh, bw, n_stripes, bps
+
+
+def _table(p: cont.PlaneData, cfg: CodecConfig):
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    t = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
+    return mode, t
+
+
+def verify(data: bytes) -> list[int]:
+    """Scan a container; return the indices of corrupt stripes.
+
+    A stripe is corrupt if its entropy decode raises (invalid Huffman
+    code, buffer overrun) or consumes a bit count different from the one
+    the container records — the position-invariant decoder consumes an
+    exact, content-determined number of bits, so byte damage almost
+    surely desynchronizes it.
+    """
+    c = cont.deserialize(data)
+    p = _require_gray(c)
+    cfg = c.config
+    _, _, n_stripes, bps = _geometry(p, cfg)
+    mode, table = _table(p, cfg)
+    bad = []
+    for s in range(n_stripes):
+        try:
+            bs.unpack_stripe_host(
+                p.stripes[s], bps, cfg.n2, mode,
+                cat_table=table if mode == "category" else None,
+                val_table=table if mode == "direct" else None,
+                vmin=p.vmin,
+                expected_bits=int(p.stripe_bits[s]),
+            )
+        except (ValueError, IndexError):
+            bad.append(s)
+    return bad
+
+
+def _padded_plane(image: np.ndarray, cfg: CodecConfig) -> jnp.ndarray:
+    """Reproduce encode_plane's padding exactly (edge mode to the
+    stripe-aligned block grid)."""
+    h, w = int(image.shape[0]), int(image.shape[1])
+    bh, bw, _ = codec._padded_grid(h, w, cfg)
+    n = cfg.block_size
+    img = blk.pad_to_blocks(jnp.asarray(np.asarray(image, np.uint8)), n)
+    ph, pw = bh * n, bw * n
+    if img.shape[0] != ph or img.shape[1] != pw:
+        img = jnp.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+    return img
+
+
+def _encode_one_stripe(
+    rows: jnp.ndarray, cfg: CodecConfig, table: hf.CanonicalTable | None
+):
+    """Encode one stripe's pixel rows against a FIXED table (the
+    container's — never rebuilt from the stripe's own histogram, or a
+    dynamic-table repair would drift from the original encode)."""
+    pixels = blk.image_to_blocks(rows, cfg.block_size)
+    var_codes = None
+    scale = None
+    if cfg.adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        var_codes = quant.variance_code(var)
+        scale = quant.scale_from_variance_code(var_codes)
+    zz = codec._fused_encode(pixels, cfg, scale, False)
+    symbols = rle.rle_encode_positional(zz)
+    if table is not None:
+        lengths = jnp.asarray(table.lengths, jnp.int32)
+        codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+    else:
+        lengths = jnp.zeros(1, jnp.int32)
+        codes = jnp.zeros(1, jnp.uint32)
+    packed = codec.encode_pack(symbols, cfg, 1, lengths, codes)
+    return packed, var_codes
+
+
+def repair(
+    data: bytes, source: np.ndarray, stripes: list[int] | None = None
+) -> bytes:
+    """Re-encode the given (default: auto-detected corrupt) stripes of a
+    container from the source image and return the repaired container.
+
+    Byte-identical to a from-scratch encode of the source under the
+    container's config (per-stripe substream independence)."""
+    c = cont.deserialize(data)
+    p = _require_gray(c)
+    cfg = c.config
+    if source.shape != (p.height, p.width):
+        raise ValueError(
+            f"source {source.shape} != container plane {(p.height, p.width)}"
+        )
+    if stripes is None:
+        stripes = verify(data)
+    if not stripes:
+        return data
+    _, bw, n_stripes, bps = _geometry(p, cfg)
+    _, table = _table(p, cfg)
+    img = _padded_plane(source, cfg)
+    n = cfg.block_size
+    rows_per_stripe = cfg.stripe_rows * n
+
+    stripe_bits = np.asarray(p.stripe_bits, np.uint32).copy()
+    new_stripes = list(p.stripes)
+    var_codes = (
+        np.asarray(p.variance_codes, np.uint8).copy() if cfg.adaptive else None
+    )
+    for s in stripes:
+        if not 0 <= s < n_stripes:
+            raise ValueError(f"stripe {s} out of range (n_stripes={n_stripes})")
+        rows = img[s * rows_per_stripe : (s + 1) * rows_per_stripe]
+        packed, vc = _encode_one_stripe(rows, cfg, table)
+        new_stripes[s] = bs.stripes_to_bytes(packed)[0]
+        stripe_bits[s] = int(packed.bit_lengths[0])
+        if cfg.adaptive:
+            var_codes[s * bps : (s + 1) * bps] = np.asarray(vc, np.uint8)
+
+    p2 = cont.PlaneData(
+        width=p.width,
+        height=p.height,
+        table_lengths=p.table_lengths,
+        vmin=p.vmin,
+        variance_codes=var_codes,
+        stripe_bits=stripe_bits,
+        stripes=new_stripes,
+    )
+    return cont.serialize(
+        cont.Container(config=cfg, width=c.width, height=c.height, planes=[p2])
+    )
+
+
+def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
+    """Decode only pixel rows [row0, row1) — entropy-decodes just the
+    stripes overlapping the range (random access / parallel consumers)."""
+    c = cont.deserialize(data)
+    p = _require_gray(c)
+    cfg = c.config
+    if not 0 <= row0 < row1 <= p.height:
+        raise ValueError(f"bad row range [{row0}, {row1}) for height {p.height}")
+    _, bw, n_stripes, bps = _geometry(p, cfg)
+    mode, table = _table(p, cfg)
+    n = cfg.block_size
+    rows_per_stripe = cfg.stripe_rows * n
+    s0 = row0 // rows_per_stripe
+    s1 = -(-row1 // rows_per_stripe)
+    s1 = min(s1, n_stripes)
+
+    zz = np.concatenate(
+        [
+            bs.unpack_stripe_host(
+                p.stripes[s], bps, cfg.n2, mode,
+                cat_table=table if mode == "category" else None,
+                val_table=table if mode == "direct" else None,
+                vmin=p.vmin,
+            )
+            for s in range(s0, s1)
+        ],
+        axis=0,
+    )
+    scale = None
+    if cfg.adaptive:
+        codes = jnp.asarray(p.variance_codes[s0 * bps : s1 * bps])
+        scale = quant.scale_from_variance_code(codes)
+    pixels = codec._fused_decode(jnp.asarray(zz), cfg, scale, False)
+    img = blk.blocks_to_image(
+        pixels, (s1 - s0) * rows_per_stripe, bw * n, n
+    )
+    base = s0 * rows_per_stripe
+    return np.asarray(img[row0 - base : row1 - base, : p.width])

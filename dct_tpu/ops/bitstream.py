@@ -455,11 +455,16 @@ def unpack_stripe_host(
     cat_table: "hf.CanonicalTable | None" = None,
     val_table: "hf.CanonicalTable | None" = None,
     vmin: int = 0,
+    expected_bits: int | None = None,
 ) -> np.ndarray:
     """Decode one stripe substream -> (n_blocks, n2) zigzag coefficients.
 
     Uses the decoder position invariant (ops/rle.py): a block is complete
     when pos reaches n2, so no symbol counts are stored.
+
+    expected_bits: when given, raise ValueError unless the decode consumed
+    exactly that many bits — the container records each stripe's bit length,
+    so a mismatch is a corruption signal (models/recovery.py).
     """
     r = BitReader(data)
     out = np.zeros((n_blocks, n2), np.int32)
@@ -489,4 +494,8 @@ def unpack_stripe_host(
             if pos < n2:
                 out[b, pos] = v
                 pos += 1
+    if expected_bits is not None and r.pos != expected_bits:
+        raise ValueError(
+            f"stripe consumed {r.pos} bits, container records {expected_bits}"
+        )
     return out

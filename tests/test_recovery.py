@@ -1,0 +1,110 @@
+"""Per-stripe integrity / repair / random access (models/recovery.py).
+
+The container's per-stripe independence is the framework's
+checkpoint-resume and failure-recovery mechanism (SURVEY.md sections
+5.3/5.4); these tests inject corruption and prove stripe-local recovery
+reproduces the from-scratch encode byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec, recovery
+from dct_tpu.utils import image_io
+
+
+@pytest.fixture(scope="module")
+def image():
+    return image_io.synthetic_image(120, 168, "photo", seed=11)
+
+
+def _corrupt_stripe(data: bytes, image, cfg, stripe: int) -> bytes:
+    """Flip bytes inside one stripe's payload region."""
+    from dct_tpu import container as cont
+
+    c = cont.deserialize(data)
+    p = c.planes[0]
+    raw = bytearray(data)
+    # locate the stripe payload: reserialize prefix lengths
+    start = len(data) - sum(len(s) for s in p.stripes)
+    for s in range(stripe):
+        start += len(p.stripes[s])
+    n = len(p.stripes[stripe])
+    assert n > 2
+    for i in range(min(8, n)):
+        raw[start + i] ^= 0xA5
+    return bytes(raw)
+
+
+@pytest.mark.parametrize("adaptive", [False, True])
+@pytest.mark.parametrize("static_tables", [True, False])
+def test_verify_and_repair_roundtrip(image, adaptive, static_tables):
+    cfg = CodecConfig(
+        quality=55, adaptive=adaptive, static_tables=static_tables,
+        stripe_rows=2,
+    )
+    original = codec.ImageCodec(cfg).encode(image)
+    assert recovery.verify(original) == []
+
+    bad = _corrupt_stripe(original, image, cfg, stripe=3)
+    damaged = recovery.verify(bad)
+    assert 3 in damaged
+
+    repaired = recovery.repair(bad, image)
+    assert repaired == original  # byte-identical to from-scratch encode
+    assert recovery.verify(repaired) == []
+
+
+def test_repair_noop_on_clean_container(image):
+    cfg = CodecConfig(quality=50, static_tables=True)
+    data = codec.ImageCodec(cfg).encode(image)
+    assert recovery.repair(data, image) == data
+
+
+def test_repair_explicit_stripes_equals_full_encode(image):
+    """Resume story: encode interrupted after some stripes -> re-encoding
+    the missing ones (here: all of them, one at a time) matches the
+    one-shot encode byte-for-byte."""
+    cfg = CodecConfig(quality=50, static_tables=True)
+    original = codec.ImageCodec(cfg).encode(image)
+    bad = original
+    for s in range(3):
+        bad = _corrupt_stripe(bad, image, cfg, stripe=s)
+    repaired = recovery.repair(bad, image, stripes=[0, 1, 2])
+    assert repaired == original
+
+
+def test_repair_rejects_wrong_source(image):
+    cfg = CodecConfig(quality=50, static_tables=True)
+    data = codec.ImageCodec(cfg).encode(image)
+    with pytest.raises(ValueError):
+        recovery.repair(data, image[:-8, :], stripes=[0])
+
+
+def test_decode_region_matches_full(image):
+    cfg = CodecConfig(quality=50, static_tables=True, stripe_rows=2)
+    data = codec.ImageCodec(cfg).encode(image)
+    full = codec.ImageCodec(cfg).decode(data)
+    for row0, row1 in [(0, 16), (13, 57), (100, 120), (0, 120)]:
+        region = recovery.decode_region(data, row0, row1)
+        np.testing.assert_array_equal(region, full[row0:row1])
+
+
+def test_decode_region_adaptive(image):
+    cfg = CodecConfig(quality=55, adaptive=True, static_tables=True)
+    data = codec.ImageCodec(cfg).encode(image)
+    full = codec.ImageCodec(cfg).decode(data)
+    region = recovery.decode_region(data, 40, 80)
+    np.testing.assert_array_equal(region, full[40:80])
+
+
+def test_decode_region_bad_range(image):
+    cfg = CodecConfig(quality=50, static_tables=True)
+    data = codec.ImageCodec(cfg).encode(image)
+    with pytest.raises(ValueError):
+        recovery.decode_region(data, 50, 10)
+    with pytest.raises(ValueError):
+        recovery.decode_region(data, 0, 10_000)
