@@ -214,12 +214,12 @@ def _fused_kernel(
         cur = units_ref[0, :, pl.ds(ob, ROW_SPAN)]
         units_ref[0, :, pl.ds(ob, ROW_SPAN)] = cur + h.astype(jnp.int32)
 
-    def body(r2, _):
-        one_row(2 * r2)
-        one_row(2 * r2 + 1)
+    def body(r8, _):
+        for rr in range(8):  # R is a multiple of 8
+            one_row(8 * r8 + rr)
         return 0
 
-    jax.lax.fori_loop(0, R // 2, body, 0)
+    jax.lax.fori_loop(0, R // 8, body, 0)
 
 
 def encode_stripes_fused(
