@@ -41,6 +41,20 @@ from dct_tpu.ops import huffman as hf
 from dct_tpu.parallel import mesh as meshlib
 
 
+def _host_full(x) -> np.ndarray:
+    """Device array -> full host ndarray, valid under multi-process SPMD.
+
+    Single process: plain np.asarray. Multi-process (jax.distributed):
+    shards on other hosts are not addressable, so gather them first —
+    the codec analog of an MPI gather of per-rank results at the writer.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def stripe_byte_offsets(bit_lengths: jax.Array, mesh: Mesh) -> jax.Array:
     """Global byte offsets of each stripe's substream in the final payload.
 
@@ -147,6 +161,11 @@ def encode_plane_sharded(
     # collective offsets (exercised + returned for the container writer)
     _ = stripe_byte_offsets(packed.bit_lengths, mesh)
 
+    # container assembly happens on the host: under multi-process SPMD the
+    # writer must first gather the shards living on other hosts
+    packed = bs.PackedStripes(
+        units=_host_full(packed.units), bit_lengths=_host_full(packed.bit_lengths)
+    )
     stripes = bs.stripes_to_bytes(packed)[:n_stripes]
     return cont.PlaneData(
         width=w,
@@ -154,7 +173,7 @@ def encode_plane_sharded(
         table_lengths=table.lengths if table is not None else None,
         vmin=_codec.DIRECT_VMIN,
         variance_codes=(
-            np.asarray(var_codes)[: bh * bw] if cfg.adaptive else None
+            _host_full(var_codes)[: bh * bw] if cfg.adaptive else None
         ),
         stripe_bits=np.asarray(packed.bit_lengths, np.uint32)[:n_stripes],
         stripes=stripes,
