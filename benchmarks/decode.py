@@ -144,23 +144,19 @@ def main() -> int:
 
         print(f"PSNR frame0      : {float(metrics.psnr(frames[0], recs[0])):9.2f} dB")
 
-    # C reference decode throughput (oracle, -O2), if buildable
-    try:
-        from dct_tpu import oracle
+    # C reference decode throughput (oracle, -O2): run_length_decode ->
+    # dequantize -> dct_inverse, timed inside the C call (encode untimed)
+    from dct_tpu import oracle
 
-        if oracle.available():
-            rng = np.random.default_rng(0)
-            px = rng.integers(0, 256, (20000, 8, 8)).astype(np.uint8)
-            oracle.decode_batch_roundtrip(px[:500], args.quality)
-            t0 = time.perf_counter()
-            oracle.decode_batch_roundtrip(px, args.quality)
-            dt_o = time.perf_counter() - t0
-            print(
-                f"C reference      : {dt_o*1e3:9.2f} ms  "
-                f"{px.shape[0]*64/dt_o/1e6:9.1f} Mpix/s (decode half)"
-            )
-    except AttributeError:
-        pass  # oracle driver has no decode batch entry point
+    if oracle.available():
+        rng = np.random.default_rng(0)
+        px = rng.integers(0, 256, (20000, 8, 8)).astype(np.uint8)
+        oracle.decode_batch_seconds(px[:500], args.quality)  # warmup
+        dt_o = oracle.decode_batch_seconds(px, args.quality)
+        print(
+            f"C reference      : {dt_o*1e3:9.2f} ms  "
+            f"{px.shape[0]*64/dt_o/1e6:9.1f} Mpix/s (decode half, -O2)"
+        )
     return 0
 
 

@@ -80,6 +80,10 @@ def _load() -> Optional[ctypes.CDLL]:
         c_up, c_ip, c_up, c_ip,
     ]
     lib.oracle_block_pipeline.restype = ctypes.c_int
+    lib.oracle_decode_batch_seconds.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, c_up, ctypes.c_int,
+    ]
+    lib.oracle_decode_batch_seconds.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -201,6 +205,19 @@ def encoded_size(values: np.ndarray, runs: np.ndarray,
     v = np.ascontiguousarray(values, np.int32)
     r = np.ascontiguousarray(runs, np.int32)
     return int(lib.oracle_encoded_size(_ip(v), _ip(r), len(v), int(use_huffman)))
+
+
+def decode_batch_seconds(pixels: np.ndarray, quality: int = 50,
+                         adaptive: bool = False) -> float:
+    """Time the reference's decode half (run_length_decode -> dequantize ->
+    dct_inverse -> +128/clamp) over (B, n, n) u8 blocks; encode happens
+    untimed inside the C call. Returns decode wall seconds."""
+    lib = _load()
+    b, n = pixels.shape[0], pixels.shape[1]
+    p = np.ascontiguousarray(pixels, np.uint8)
+    return float(
+        lib.oracle_decode_batch_seconds(n, quality, int(adaptive), _up(p), b)
+    )
 
 
 def encode_batch(pixels: np.ndarray, quality: int = 50, adaptive: bool = False,

@@ -273,3 +273,69 @@ int oracle_block_pipeline(int n, int quality, int adaptive, int use_huffman,
     dct_free(dctx); quant_free(qctx); entropy_free(ectx);
     return count;
 }
+
+/* ----------------------- decode-batch throughput ------------------------- */
+
+/*
+ * Time the reference's DECODE half over a batch: run_length_decode ->
+ * dequantize -> dct_inverse -> +128/clamp (the mirror at
+ * test_entropy.c:349-393). Phase 1 (untimed) produces each block's RLE
+ * symbol list + variance via the encode pipeline; phase 2 (timed) decodes.
+ * Returns the decode-phase wall seconds.
+ */
+#include <time.h>
+
+double oracle_decode_batch_seconds(int n, int quality, int adaptive,
+                                   const unsigned char *pixels, int nblocks) {
+    DCTContext *dctx = dct_init(n);
+    QuantContext *qctx = quant_init(n, quality, adaptive);
+
+    /* phase 1: encode everything, keep per-block contexts alive */
+    EntropyContext **ectxs =
+        (EntropyContext **)malloc((size_t)nblocks * sizeof(EntropyContext *));
+    double *variances = (double *)malloc((size_t)nblocks * sizeof(double));
+    double **in = alloc_array(n, n);
+    double **coeffs = alloc_array(n, n);
+    int **qc = alloc_int_array(n, n);
+    for (int b = 0; b < nblocks; ++b) {
+        const unsigned char *p = pixels + (size_t)b * n * n;
+        for (int i = 0; i < n; ++i)
+            for (int j = 0; j < n; ++j)
+                in[i][j] = (double)p[i * n + j] - 128.0;
+        variances[b] = adaptive ? calculate_block_variance(in, n) : 0.0;
+        dct_forward(dctx, in, coeffs);
+        quantize(qctx, coeffs, qc, variances[b]);
+        ectxs[b] = entropy_init(0);
+        run_length_encode(ectxs[b], qc, n);
+    }
+
+    /* phase 2 (timed): the decode mirror */
+    int **qc2 = alloc_int_array(n, n);
+    double **deq = alloc_array(n, n);
+    double **rec = alloc_array(n, n);
+    volatile unsigned int sink = 0;
+    struct timespec t0, t1;
+    clock_gettime(CLOCK_MONOTONIC, &t0);
+    for (int b = 0; b < nblocks; ++b) {
+        run_length_decode(ectxs[b], qc2, n);
+        dequantize(qctx, qc2, deq, variances[b]);
+        dct_inverse(dctx, deq, rec);
+        for (int i = 0; i < n; ++i)
+            for (int j = 0; j < n; ++j) {
+                double v = rec[i][j] + 128.0;
+                if (v < 0.0) v = 0.0;
+                if (v > 255.0) v = 255.0;
+                sink += (unsigned char)(v + 0.5);
+            }
+    }
+    clock_gettime(CLOCK_MONOTONIC, &t1);
+    (void)sink;
+
+    for (int b = 0; b < nblocks; ++b) entropy_free(ectxs[b]);
+    free(ectxs); free(variances);
+    free_array(in, n); free_array(coeffs, n); free_array(deq, n);
+    free_array(rec, n);
+    free_int_array(qc, n); free_int_array(qc2, n);
+    dct_free(dctx); quant_free(qctx);
+    return (double)(t1.tv_sec - t0.tv_sec) + 1e-9 * (t1.tv_nsec - t0.tv_nsec);
+}
