@@ -33,9 +33,29 @@ def main() -> int:
     ap.add_argument("--size", default="3840x2160")  # 4K
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--quality", type=int, default=50)
+    ap.add_argument(
+        "--backend", choices=("cpu", "native"), default="cpu",
+        help="cpu (default): force an 8-virtual-device CPU mesh — scaling "
+        "SHAPE needs multiple devices and the dev box has one TPU chip; "
+        "native: use whatever backend jax picks (a real multi-chip slice)",
+    )
     args = ap.parse_args()
 
+    import os
+
+    if args.backend == "cpu":
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if args.backend == "cpu":
+        # the axon harness pins JAX_PLATFORMS=axon via sitecustomize; the
+        # config update after import is the authoritative override
+        jax.config.update("jax_platforms", "cpu")
 
     from dct_tpu.config import CodecConfig
     from dct_tpu.parallel import mesh as meshlib
@@ -69,6 +89,14 @@ def main() -> int:
         print(f"devices={n:>2}: {dt*1e3:8.1f} ms  {mpix:8.2f} Mpix/s  "
               f"scaling efficiency {eff:5.1f}%")
     print("bitstreams byte-identical across all mesh shapes: OK")
+    if args.backend == "cpu":
+        print(
+            "NOTE: virtual CPU devices share the host's physical cores, so "
+            "the efficiency column cannot show real speedup here — it "
+            "validates sharding/collective STRUCTURE and determinism. Run "
+            "with --backend native on a real multi-chip slice for true "
+            "Mpix/s scaling."
+        )
     return 0
 
 
