@@ -22,18 +22,25 @@ enum Mode { kCategory = 0, kDirect = 1, kNone = 2 };
 // ---- canonical table ------------------------------------------------------
 
 struct CanonicalTable {
-  // Decode via the standard first-code-per-length walk.
+  // Decode via a W-bit prefix LUT (one lookup for codes of length <= W),
+  // falling back to the standard first-code-per-length walk for longer
+  // codes. W = min(max_len, 16); both table modes cap code lengths at 16
+  // (JPEG adjust-bits), so the walk is a cold path for foreign tables only.
+  static constexpr int kLutBits = 16;
   int max_len = 0;
+  int lut_bits = 0;
   uint32_t first_code[33] = {0};   // first canonical code of each length
   int first_index[33] = {0};       // index into sorted_symbols
   int count_by_len[33] = {0};
   std::vector<int> sorted_symbols; // symbols ordered by (length, symbol)
+  struct Entry { uint16_t sym; uint8_t len; };  // len 0 = LUT miss
+  std::vector<Entry> lut;
 
   void build(const uint8_t* lengths, int n) {
     for (int l = 1; l <= 32; ++l) count_by_len[l] = 0;
     sorted_symbols.clear();
-    for (int s = 0; s < n; ++s)
-      if (lengths[s] > 0) count_by_len[lengths[s]]++;
+    for (int s = 0; s < n; ++s)  // >32 = corrupt container field: unusable
+      if (lengths[s] > 0 && lengths[s] <= 32) count_by_len[lengths[s]]++;
     max_len = 0;
     for (int l = 32; l >= 1; --l)
       if (count_by_len[l]) { max_len = l; break; }
@@ -47,10 +54,23 @@ struct CanonicalTable {
       index += count_by_len[l];
     }
     sorted_symbols.resize(index);
-    int pos = 0;
+    int spos = 0;
     for (int l = 1; l <= max_len; ++l)
       for (int s = 0; s < n; ++s)
-        if (lengths[s] == l) sorted_symbols[pos++] = s;
+        if (lengths[s] == l) sorted_symbols[spos++] = s;
+
+    lut_bits = max_len < kLutBits ? max_len : kLutBits;
+    lut.assign((size_t)1 << lut_bits, Entry{0, 0});
+    spos = 0;
+    for (int l = 1; l <= lut_bits; ++l) {
+      for (int i = 0; i < count_by_len[l]; ++i, ++spos) {
+        uint32_t c = first_code[l] + (uint32_t)i;
+        uint32_t lo = c << (lut_bits - l);
+        uint32_t hi = (c + 1) << (lut_bits - l);
+        for (uint32_t idx = lo; idx < hi; ++idx)
+          lut[idx] = Entry{(uint16_t)sorted_symbols[spos], (uint8_t)l};
+      }
+    }
   }
 };
 
@@ -63,21 +83,37 @@ struct BitReader {
 
   bool ok() const { return pos <= nbytes * 8; }
 
-  inline int read_bit() {
+  // Next 64 bits MSB-first at the cursor, zero-padded past the end (the
+  // stream's own bits can never validly read past it; the block loop plus
+  // the final ok() check catch overruns exactly like bit-by-bit zero
+  // padding did).
+  inline uint64_t peek64() const {
     uint64_t byte = pos >> 3;
-    if (byte >= nbytes) { pos++; return 0; }
-    int bit = (data[byte] >> (7 - (pos & 7))) & 1;
-    pos++;
-    return bit;
+    uint64_t w = 0;
+    if (byte + 8 <= nbytes) {
+      memcpy(&w, data + byte, 8);
+    } else if (byte < nbytes) {
+      uint8_t tmp[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+      memcpy(tmp, data + byte, nbytes - byte);
+      memcpy(&w, tmp, 8);
+    }
+    w = __builtin_bswap64(w);
+    return w << (pos & 7);
   }
 
+  inline void consume(int n) { pos += n; }
+
   inline uint32_t read_bits(int n) {
-    uint32_t v = 0;
-    for (int i = 0; i < n; ++i) v = (v << 1) | (uint32_t)read_bit();
+    if (n == 0) return 0;
+    uint32_t v = (uint32_t)(peek64() >> (64 - n));
+    pos += n;
     return v;
   }
 
-  inline int decode_symbol(const CanonicalTable& t) {
+  inline int read_bit() { return (int)read_bits(1); }
+
+  // Cold path: codes longer than the LUT width (foreign tables only).
+  inline int decode_symbol_walk(const CanonicalTable& t) {
     uint32_t code = 0;
     for (int l = 1; l <= t.max_len; ++l) {
       code = (code << 1) | (uint32_t)read_bit();
@@ -88,6 +124,24 @@ struct BitReader {
       }
     }
     return -1;
+  }
+
+  // Hot path: one peek64 decodes code via LUT; caller reads trailing
+  // fields from the SAME word (a symbol spans <= 40 bits total).
+  inline int decode_symbol(const CanonicalTable& t, uint64_t w, int* len) {
+    if (t.lut_bits) {
+      CanonicalTable::Entry e = t.lut[(size_t)(w >> (64 - t.lut_bits))];
+      if (e.len) {
+        *len = e.len;
+        return (int)e.sym;
+      }
+    }
+    // miss: either invalid stream or code longer than lut_bits
+    uint64_t start = pos;
+    int sym = decode_symbol_walk(t);
+    *len = (int)(pos - start);
+    pos = start;
+    return sym;
   }
 };
 
@@ -107,24 +161,38 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
     int pos = 0;
     while (pos < n2) {
       int32_t v = 0;
+      uint32_t run;
+      // one peek64 per symbol: code (<=16b) + payload (<=16b) + run (8b)
+      uint64_t w = r.peek64();
       if (mode == kCategory) {
-        int cat = r.decode_symbol(*table);
+        int len;
+        int cat = r.decode_symbol(*table, w, &len);
         if (cat < 0) { *err = 2; return; }
-        v = value_from_category(cat, cat ? r.read_bits(cat) : 0);
+        uint32_t extra =
+            cat ? (uint32_t)((w << len) >> (64 - cat)) : 0;
+        run = (uint32_t)((w << (len + cat)) >> (64 - kRunBits));
+        r.consume(len + cat + kRunBits);
+        v = value_from_category(cat, extra);
       } else if (mode == kDirect) {
-        int sym = r.decode_symbol(*table);
+        int len;
+        int sym = r.decode_symbol(*table, w, &len);
         if (sym < 0) { *err = 2; return; }
         if (sym == n_alpha) {  // ESC: raw 16-bit two's complement
-          uint32_t raw = r.read_bits(16);
+          uint32_t raw = (uint32_t)((w << len) >> 48);
           v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
+          run = (uint32_t)((w << (len + 16)) >> (64 - kRunBits));
+          r.consume(len + 16 + kRunBits);
         } else {
           v = sym + vmin;
+          run = (uint32_t)((w << len) >> (64 - kRunBits));
+          r.consume(len + kRunBits);
         }
       } else {
-        uint32_t raw = r.read_bits(16);
+        uint32_t raw = (uint32_t)(w >> 48);
         v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
+        run = (uint32_t)((w << 16) >> (64 - kRunBits));
+        r.consume(16 + kRunBits);
       }
-      uint32_t run = r.read_bits(kRunBits);
       pos += (int)run;
       if (pos < n2) blockp[pos++] = v;
     }
