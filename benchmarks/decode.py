@@ -107,7 +107,9 @@ def main() -> int:
 
         return run
 
-    K = 9
+    # the IDCT body is ~0.2 ms — far below the ~2 ms dispatch jitter — so
+    # the trip-count delta needs a much larger K than bench.py's encode
+    K = 65
     r1, rk = make_idct(1), make_idct(K)
 
     def timed(fn, iters=4):

@@ -1,0 +1,84 @@
+"""CLI surface tests: every subcommand driven in-process through main(argv)
+(the reference has no CLI at all; this one is the framework's user-facing
+driver, SURVEY.md section 3.5)."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from dct_tpu import cli
+from dct_tpu.utils import image_io
+
+
+@pytest.fixture(scope="module")
+def pgm(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    img = image_io.synthetic_image(72, 96, "photo", seed=3)
+    p = d / "in.pgm"
+    image_io.write_image(str(p), img)
+    return d, p, img
+
+
+def test_encode_decode_info(pgm, capsys):
+    d, p, img = pgm
+    out = d / "out.tpdc"
+    rec = d / "rec.pgm"
+    assert cli.main(["encode", str(p), str(out), "--quality", "60"]) == 0
+    assert out.exists() and out.stat().st_size > 0
+    assert cli.main(["decode", str(out), str(rec)]) == 0
+    got = image_io.read_image(str(rec))
+    assert got.shape == img.shape
+    mse = np.mean((got.astype(float) - img.astype(float)) ** 2)
+    assert mse < 150  # q60 reconstruction is decent
+
+    capsys.readouterr()
+    assert cli.main(["info", str(out)]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["width"] == 96 and info["height"] == 72
+    assert info["quality"] == 60
+
+
+def test_roundtrip_reports_psnr(pgm, capsys):
+    d, p, _ = pgm
+    assert cli.main(["roundtrip", str(p), "--quality", "85", "--adaptive"]) == 0
+    out = capsys.readouterr().out
+    assert "PSNR" in out and "dB" in out
+
+
+def test_verify_and_repair(pgm, capsys):
+    d, p, img = pgm
+    out = d / "v.tpdc"
+    assert cli.main(["encode", str(p), str(out), "--quality", "50",
+                     "--static-tables"]) == 0
+    assert cli.main(["verify", str(out)]) == 0
+
+    data = bytearray(out.read_bytes())
+    data[-6:-2] = b"\xa5\xa5\xa5\xa5"  # clobber tail payload
+    bad = d / "bad.tpdc"
+    bad.write_bytes(bytes(data))
+    assert cli.main(["verify", str(bad)]) == 1
+
+    fixed = d / "fixed.tpdc"
+    assert cli.main(["repair", str(bad), str(p), "-o", str(fixed)]) == 0
+    assert cli.main(["verify", str(fixed)]) == 0
+    assert fixed.read_bytes() == out.read_bytes()
+
+
+def test_color_roundtrip(pgm, tmp_path):
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    p = tmp_path / "c.ppm"
+    image_io.write_image(str(p), img)
+    out = tmp_path / "c.tpdc"
+    rec = tmp_path / "c_rec.ppm"
+    assert cli.main(["encode", str(p), str(out), "--quality", "80"]) == 0
+    assert cli.main(["decode", str(out), str(rec)]) == 0
+    assert image_io.read_image(str(rec)).shape == img.shape
+
+
+def test_unknown_command_rejected():
+    with pytest.raises(SystemExit):
+        cli.main(["frobnicate", "x"])
