@@ -61,8 +61,11 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _round_half_away(x):
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+def _round_half_away_i32(x):
+    # round-half-away folded into the conversion: f32->i32 truncates, so
+    # (x +- 0.5).astype(i32) == sign*floor(|x|+0.5) bit-for-bit
+    half = jnp.where(x >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+    return (x + half).astype(jnp.int32)
 
 
 def _fused_kernel(
@@ -108,7 +111,7 @@ def _fused_kernel(
             half == 0, scale_ref[0][:, 0:1], scale_ref[0][:, 1:2]
         )  # (R, 128)
         y = jnp.where(pos != 0, y * r, y)
-    zz = _round_half_away(y).astype(jnp.int32)
+    zz = _round_half_away_i32(y)
 
     # ---- 2. RLE (segmented scans) ----------------------------------------
     mask = (zz != 0) & live

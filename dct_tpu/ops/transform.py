@@ -36,10 +36,13 @@ def round_half_away(x: jax.Array) -> jax.Array:
     """C ``round()`` semantics: round half away from zero.
 
     ``jnp.round`` rounds half to even; the reference rounds 0.5 -> 1,
-    -0.5 -> -1 (dct.c:126, quantization.c:124). floor(|x| + 0.5) with the
-    sign restored reproduces that exactly.
+    -0.5 -> -1 (dct.c:126, quantization.c:124). trunc(x +- 0.5) is
+    bit-identical to the textbook sign(x)*floor(|x|+0.5) (negation is
+    exact, so the magnitude add rounds the same way) in 4 vector ops
+    instead of 6 — this sits in every kernel's epilogue.
     """
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    half = jnp.where(x >= 0, jnp.asarray(0.5, x.dtype), jnp.asarray(-0.5, x.dtype))
+    return jnp.trunc(x + half)
 
 
 def dct2(blocks: jax.Array, block_size: int | None = None) -> jax.Array:

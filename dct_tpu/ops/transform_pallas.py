@@ -36,9 +36,17 @@ from dct_tpu.config import CodecConfig
 from dct_tpu import tables
 from dct_tpu.ops.transform import round_half_away
 
-# Rows per grid cell; each row = 2 blocks. 256 rows x 128 lanes x 4 B = 128 KB
-# per f32 buffer — comfortably inside VMEM with double buffering.
-TILE_ROWS = 256
+# Rows per grid cell; each row = 2 blocks. 512 rows x 128 lanes x 4 B =
+# 256 KB per f32 value — comfortable in VMEM with double buffering.
+# Measured: 256 -> 512 helps (+28%% with the cheap rounding); 1024 hurts
+# (fewer cells in flight reduces pipeline overlap).
+TILE_ROWS = 512
+
+def _half(y):
+    # round-half-away folded into the int conversion: f32->int converts
+    # round-toward-zero, so trunc(y +- 0.5) needs no explicit trunc op
+    return jnp.where(y >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+
 BLOCKS_PER_ROW = 2
 
 
@@ -92,7 +100,7 @@ def _encode_kernel(x_ref, m_ref, b_ref, o_ref):
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + b_ref[:]
-    o_ref[:] = round_half_away(y).astype(jnp.int16)
+    o_ref[:] = (y + _half(y)).astype(jnp.int16)
 
 
 def _encode_kernel_adaptive(x_ref, m_ref, b_ref, s_ref, mask_ref, o_ref):
@@ -107,7 +115,7 @@ def _encode_kernel_adaptive(x_ref, m_ref, b_ref, s_ref, mask_ref, o_ref):
     # pltpu.repeat TILES (abab...), it does not element-repeat.
     r = _expand_block_scale(s_ref[:])
     y = jnp.where(mask_ref[:] != 0, y * r, y)
-    o_ref[:] = round_half_away(y).astype(jnp.int16)
+    o_ref[:] = (y + _half(y)).astype(jnp.int16)
 
 
 def _decode_kernel(z_ref, m_ref, o_ref):
@@ -115,7 +123,8 @@ def _decode_kernel(z_ref, m_ref, o_ref):
     y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + 128.0
     # Mosaic lacks f32->u8; round-trip through int32 (exact for [0,255]).
-    o_ref[:] = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    # clip-then-truncate == round_half_away-then-clip on this range.
+    o_ref[:] = jnp.clip(y + _half(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
@@ -125,7 +134,8 @@ def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
     y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + 128.0
     # Mosaic lacks f32->u8; round-trip through int32 (exact for [0,255]).
-    o_ref[:] = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    # clip-then-truncate == round_half_away-then-clip on this range.
+    o_ref[:] = jnp.clip(y + _half(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _pack_rows(x: jax.Array) -> tuple[jax.Array, int, int]:
