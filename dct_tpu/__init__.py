@@ -13,4 +13,29 @@ from dct_tpu import tables
 
 __version__ = "0.1.0"
 
-__all__ = ["CodecConfig", "DEFAULT_CONFIG", "tables", "__version__"]
+__all__ = [
+    "CodecConfig",
+    "DEFAULT_CONFIG",
+    "tables",
+    "encode",
+    "decode",
+    "__version__",
+]
+
+
+def encode(image, config: CodecConfig | None = None) -> bytes:
+    """Top-level convenience: u8 image array -> TPDC container bytes.
+
+    Grayscale (H, W) or RGB (H, W, 3) by array rank; see
+    dct_tpu.models.codec for the full API (codecs, recovery, video).
+    """
+    from dct_tpu.models import codec
+
+    return codec.encode(image, config)
+
+
+def decode(data: bytes):
+    """TPDC container bytes -> reconstructed u8 image array."""
+    from dct_tpu.models import codec
+
+    return codec.decode(data)
