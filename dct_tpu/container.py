@@ -121,6 +121,14 @@ def serialize(c: Container) -> bytes:
 def deserialize(data: bytes) -> Container:
     if data[:4] != MAGIC:
         raise ValueError("not a TPDC container")
+    try:
+        return _deserialize(data)
+    except (struct.error, ValueError) as e:
+        # struct/frombuffer overruns = truncated file; surface uniformly
+        raise ValueError(f"truncated or corrupt TPDC container: {e}") from e
+
+
+def _deserialize(data: bytes) -> Container:
     (
         version,
         flags,
@@ -151,6 +159,18 @@ def deserialize(data: bytes) -> Container:
     for _ in range(n_planes):
         pw, ph, n_stripes = struct.unpack_from("<III", data, off)
         off += 12
+        # geometry consistency: the stored stripe count must match the
+        # plane dims + stripe_rows (a corrupt header otherwise crashes the
+        # decoder far downstream with a shape error)
+        bh_exp = -(-ph // n)
+        bh_exp = -(-bh_exp // stripe_rows) * stripe_rows
+        if ph == 0 or pw == 0 or n_stripes != bh_exp // stripe_rows:
+            raise ValueError(
+                f"inconsistent plane geometry: {pw}x{ph} with "
+                f"stripe_rows={stripe_rows} implies "
+                f"{bh_exp // max(stripe_rows, 1)} stripes, header says "
+                f"{n_stripes}"
+            )
         mode = cfg.huffman_mode if cfg.use_huffman else "none"
         table = None
         vmin = 0
@@ -175,6 +195,11 @@ def deserialize(data: bytes) -> Container:
         stripes = []
         for s in range(n_stripes):
             nbytes = int((int(stripe_bits[s]) + 7) // 8)
+            if off + nbytes > len(data):
+                raise ValueError(
+                    f"stripe {s} payload extends past end of data "
+                    f"({off + nbytes} > {len(data)})"
+                )
             stripes.append(data[off : off + nbytes])
             off += nbytes
         planes.append(

@@ -228,6 +228,14 @@ class CanonicalTable:
 
     def __init__(self, lengths: np.ndarray):
         self.lengths = np.asarray(lengths, np.int32)
+        # Wire-level validation (containers store raw u8 lengths): lengths
+        # over 32 overflow code construction, and an over-subscribed Kraft
+        # sum cannot be a prefix code — both mean a corrupt table.
+        if np.any(self.lengths < 0) or np.any(self.lengths > 32):
+            raise ValueError("invalid canonical code length (must be 0..32)")
+        live = self.lengths[self.lengths > 0]
+        if live.size and float(np.sum(np.ldexp(1.0, -live))) > 1.0 + 1e-9:
+            raise ValueError("over-subscribed canonical Huffman table")
         self.codes = canonical_codes(self.lengths)
         # Decode tables: symbols sorted by (length, symbol).
         order = [

@@ -1,0 +1,82 @@
+"""Config-space fuzz: random (size, quality, adaptive, stripe_rows,
+huffman_mode, static_tables, block_size) combinations must round-trip
+through encode -> integrity scan -> decode with a sane reconstruction,
+and every truncation of a container must fail CLEANLY (ValueError), never
+escape a struct/numpy internal error or return garbage pixels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec, recovery
+from dct_tpu.utils import image_io
+
+
+def _random_cfg(rng) -> CodecConfig:
+    mode = rng.choice(["category", "direct", "none"])
+    block = int(rng.choice([4, 8, 16]))
+    return CodecConfig(
+        block_size=block,
+        quality=int(rng.integers(1, 101)),
+        adaptive=bool(rng.integers(0, 2)),
+        use_huffman=mode != "none",
+        huffman_mode=mode,
+        # static tables only exist for category mode
+        static_tables=bool(rng.integers(0, 2)) and mode == "category",
+        stripe_rows=int(rng.choice([1, 2, 3])),
+    )
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_random_config_roundtrip(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cfg = _random_cfg(rng)
+    h = int(rng.integers(9, 90))
+    w = int(rng.integers(9, 120))
+    img = image_io.synthetic_image(h, w, "photo", seed=seed)
+
+    data = codec.ImageCodec(cfg).encode(img)
+    if cfg.block_size == 8:  # recovery supports the 8x8 wire format fully
+        assert recovery.verify(data) == []
+    rec = codec.ImageCodec(cfg).decode(data)
+    assert rec.shape == img.shape
+    err = np.abs(rec.astype(int) - img.astype(int)).mean()
+    # quality 1 on tiny detailed images is coarse; bound generously
+    assert err < 64, f"cfg={cfg} mean abs err {err}"
+
+
+def test_truncations_fail_cleanly():
+    img = image_io.synthetic_image(40, 56, "photo", seed=2)
+    data = codec.ImageCodec(CodecConfig(quality=50)).encode(img)
+    rng = np.random.default_rng(0)
+    cuts = sorted(set(
+        [0, 1, 3, 4, 5, 19, 20, 21, len(data) - 1]
+        + [int(x) for x in rng.integers(0, len(data), 24)]
+    ))
+    for cut in cuts:
+        if cut >= len(data):
+            continue
+        with pytest.raises(ValueError):
+            cont.deserialize(data[:cut])
+
+
+def test_byte_corruption_never_escapes_valueerror():
+    """Flipping bytes anywhere in the container either still decodes (bit
+    damage inside a stripe can produce a valid-looking stream — that is
+    what recovery.verify's bit-count check is for) or raises ValueError."""
+    img = image_io.synthetic_image(32, 40, "photo", seed=4)
+    data = codec.ImageCodec(CodecConfig(quality=50)).encode(img)
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        i = int(rng.integers(4, len(data)))  # keep the magic intact
+        mutated = bytearray(data)
+        mutated[i] ^= int(rng.integers(1, 256))
+        try:
+            c = cont.deserialize(bytes(mutated))
+            codec.decode_plane(c.planes[0], c.config)
+        except (ValueError, IndexError):
+            pass  # clean rejection is acceptable; crashes are not
