@@ -70,7 +70,7 @@ def _round_half_away_i32(x):
 
 def _fused_kernel(
     len_ref, code_ref, px_ref, m_ref, b_ref, scale_ref,
-    units_ref, bits_ref, scr_k, scr_d, scr_w8, scr_base,
+    units_ref, bits_ref, scr_k, scr_d, scr_base,
     *, n_live_blocks: int, adaptive: bool, run_bits: int,
 ):
     """One grid cell = one stripe. See module docstring.
@@ -85,7 +85,6 @@ def _fused_kernel(
                plane-major [d0hi|d0lo|d1hi|d1lo|...] (f32 storage: Mosaic
                dynamic sublane offsets are unrestricted only for 32-bit;
                cast to bf16 at the per-row copy)
-    scr_w8:    (8, 128) f32 — per-row digit-byte matrix fed to the MXU
     scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
     """
     R = px_ref.shape[1]
@@ -198,15 +197,14 @@ def _fused_kernel(
     units_ref[:] = jnp.zeros_like(units_ref)
     u = jax.lax.broadcasted_iota(jnp.int32, (128, ROW_SPAN), 1)
 
-    def one_row(r):
+    def one_row(r, planes, rr):
         base = scr_base[r, 0]
         ob = pl.multiple_of(base, 128)
         k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
         a = (k == u).astype(jnp.float32)  # one one-hot serves all 4 digits
-        for j in range(8):
-            scr_w8[pl.ds(j, 1), :] = scr_d[pl.ds(j * R + r, 1), :]
+        w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
         out = jnp.dot(
-            scr_w8[:], a, preferred_element_type=jnp.float32
+            w, a, preferred_element_type=jnp.float32
         )  # (8, ROW_SPAN): rows 2d/2d+1 = digit d hi/lo bytes
         h = out[0:1] * 256.0 + out[1:2]
         for j in range(1, 4):  # digit j lands j units after the symbol's i0
@@ -218,8 +216,12 @@ def _fused_kernel(
         units_ref[0, :, pl.ds(ob, ROW_SPAN)] = cur + h.astype(jnp.int32)
 
     def body(r8, _):
+        # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous in
+        # scr_d: one (8,128) load per plane per 8-row group, row-selected
+        # by static slicing in registers (no per-row scratch staging)
+        planes = [scr_d[pl.ds(j * R + 8 * r8, 8), :] for j in range(8)]
         for rr in range(8):  # R is a multiple of 8
-            one_row(8 * r8 + rr)
+            one_row(8 * r8 + rr, planes, rr)
         return 0
 
     jax.lax.fori_loop(0, R // 8, body, 0)
@@ -301,7 +303,6 @@ def encode_stripes_fused(
         scratch_shapes=[
             pltpu.VMEM((R, 128), jnp.int32),
             pltpu.VMEM((8 * R, 128), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.VMEM((R, 1), jnp.int32),
         ],
         interpret=_interpret(),
