@@ -37,7 +37,6 @@ def main() -> int:
 
     import jax
 
-    import dct_tpu.ops.huffman as hf
     from dct_tpu import container as cont
     from dct_tpu import native
     from dct_tpu.config import CodecConfig
@@ -77,15 +76,13 @@ def main() -> int:
     # on-device scalar reduce (bench.py methodology)
     import jax.numpy as jnp
 
-    from dct_tpu import container as cont2
+    from dct_tpu.models import recovery
     from dct_tpu.models.codec import _fused_decode
 
-    c0 = cont2.deserialize(blobs[0])
+    c0 = cont.deserialize(blobs[0])
     p0_ = c0.planes[0]
-    bh_, bw_, ns_ = codec._padded_grid(p0_.height, p0_.width, c0.config)
-    bps_ = (bh_ // ns_) * bw_
-    mode_ = c0.config.huffman_mode if c0.config.use_huffman else "none"
-    tbl_ = hf.CanonicalTable(p0_.table_lengths) if mode_ != "none" else None
+    _, _, ns_, bps_ = recovery._geometry(p0_, c0.config)
+    mode_, tbl_ = recovery._table(p0_, c0.config)
     zz_host = codec._decode_stripes(p0_, c0.config, tbl_, mode_, ns_, bps_)
     zz_dev = jnp.asarray(np.broadcast_to(
         zz_host, (args.frames,) + zz_host.shape
@@ -120,17 +117,21 @@ def main() -> int:
         return (time.perf_counter() - t0) / iters
 
     t1_, tk_ = timed(r1), timed(rk)
-    dt_d = max(tk_ - t1_, 1e-9) / (K - 1)
+    if tk_ <= t1_:
+        print("warning: idct K-loop delta <= 0 (dispatch jitter); "
+              "reporting single-dispatch time incl. overhead",
+              file=_sys.stderr)
+        dt_d = t1_
+    else:
+        dt_d = (tk_ - t1_) / (K - 1)
     print(f"idct (device)    : {dt_d*1e3:9.2f} ms  {pixels/dt_d/1e6:9.1f} Mpix/s")
 
     # host half: entropy decode only
     parsed = [cont.deserialize(b) for b in blobs]
     p0 = parsed[0].planes[0]
     ccfg = parsed[0].config
-    bh, bw, n_stripes = codec._padded_grid(p0.height, p0.width, ccfg)
-    bps = (bh // n_stripes) * bw
-    mode = ccfg.huffman_mode if ccfg.use_huffman else "none"
-    table = hf.CanonicalTable(p0.table_lengths) if mode != "none" else None
+    _, _, n_stripes, bps = recovery._geometry(p0, ccfg)
+    mode, table = recovery._table(p0, ccfg)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         for c in parsed:

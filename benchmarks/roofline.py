@@ -79,7 +79,12 @@ def main() -> int:
         return (time.perf_counter() - t0) / args.iters
 
     t1, tk = timed(r1), timed(rk)
-    dt = max(tk - t1, 1e-9) / (K - 1)
+    if tk <= t1:
+        print("warning: K-loop delta <= 0 (dispatch jitter); reporting "
+              "single-dispatch throughput incl. overhead", file=_sys.stderr)
+        dt = t1
+    else:
+        dt = (tk - t1) / (K - 1)
     gpix = pixels / dt / 1e9
 
     flop_per_px = 2 * 128 * 128 / 128 * 6  # HIGHEST = 6 bf16 passes

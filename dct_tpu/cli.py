@@ -135,7 +135,11 @@ def cmd_roundtrip(args) -> int:
 def cmd_verify(args) -> int:
     from dct_tpu.models import recovery
 
-    bad = recovery.verify(open(args.input, "rb").read())
+    try:
+        bad = recovery.verify(open(args.input, "rb").read())
+    except NotImplementedError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if bad:
         print(f"{args.input}: CORRUPT stripes {bad}")
         return 1
@@ -149,7 +153,11 @@ def cmd_repair(args) -> int:
 
     data = open(args.input, "rb").read()
     src = image_io.read_image(args.source)
-    bad = recovery.verify(data)
+    try:
+        bad = recovery.verify(data)
+    except NotImplementedError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if not bad:
         print(f"{args.input}: nothing to repair")
         return 0

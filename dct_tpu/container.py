@@ -142,12 +142,24 @@ def _deserialize(data: bytes) -> Container:
     ) = struct.unpack_from("<BBBBIIBBH", data, 4)
     if version != VERSION:
         raise ValueError(f"unsupported container version {version}")
+    # validate enum/structural header fields BEFORE using them — corrupt
+    # values must surface as the uniform ValueError, not ZeroDivisionError
+    # (stripe_rows=0) or IndexError (mode indexes)
+    if stripe_rows < 1:
+        raise ValueError(f"invalid stripe_rows {stripe_rows}")
+    if block_size < 2:
+        raise ValueError(f"invalid block_size {block_size}")
+    huffman_idx = (flags >> 2) & 3
+    if huffman_idx >= len(_HUFFMAN_MODES):
+        raise ValueError(f"invalid huffman mode index {huffman_idx}")
+    if chroma_idx >= len(_CHROMA_MODES):
+        raise ValueError(f"invalid chroma mode index {chroma_idx}")
     cfg = CodecConfig(
         block_size=block_size,
         quality=quality,
         adaptive=bool(flags & 1),
         use_huffman=bool((flags >> 1) & 1),
-        huffman_mode=_HUFFMAN_MODES[(flags >> 2) & 3],
+        huffman_mode=_HUFFMAN_MODES[huffman_idx],
         compat_b1=bool((flags >> 4) & 1),
         static_tables=bool((flags >> 5) & 1),
         chroma=_CHROMA_MODES[chroma_idx],

@@ -234,7 +234,9 @@ class CanonicalTable:
         if np.any(self.lengths < 0) or np.any(self.lengths > 32):
             raise ValueError("invalid canonical code length (must be 0..32)")
         live = self.lengths[self.lengths > 0]
-        if live.size and float(np.sum(np.ldexp(1.0, -live))) > 1.0 + 1e-9:
+        # exact comparison: the ldexp terms sum exactly in float64 (minimum
+        # over-subscription excess is 2^-32, far above f64 resolution here)
+        if live.size and float(np.sum(np.ldexp(1.0, -live))) > 1.0:
             raise ValueError("over-subscribed canonical Huffman table")
         self.codes = canonical_codes(self.lengths)
         # Decode tables: symbols sorted by (length, symbol).

@@ -34,7 +34,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dct_tpu.config import CodecConfig
 from dct_tpu import tables
-from dct_tpu.ops.transform import round_half_away
 
 # Rows per grid cell; each row = 2 blocks. 512 rows x 128 lanes x 4 B =
 # 256 KB per f32 value — comfortable in VMEM with double buffering.
