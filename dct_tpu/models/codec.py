@@ -257,8 +257,16 @@ def encode_plane(
     )
 
 
-def decode_plane(p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
-    """PlaneData -> reconstructed u8 plane."""
+def decode_plane_device(
+    p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False
+) -> jax.Array:
+    """PlaneData -> reconstructed u8 plane as a DEVICE array.
+
+    The TPU-native consumer path: host entropy decode feeds the fused
+    dequant+IDCT on device and the pixels STAY on device — for pipelines
+    whose next stage is on-chip (e.g. decoded frames feeding a model),
+    skipping the device->host transfer that dominates tunnel-attached
+    decode timing (benchmarks/decode.py)."""
     n = cfg.block_size
     bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
     bps = (bh // n_stripes) * bw  # blocks per stripe
@@ -274,7 +282,12 @@ def decode_plane(p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False) -> n
     pixels = _fused_decode(jnp.asarray(zz), cfg, scale, chroma)
     # Rebuild on the (stripe-padded) encoder grid, then crop to true dims.
     img = blk.blocks_to_image(pixels, bh * n, bw * n, n)
-    return np.asarray(img[: p.height, : p.width])
+    return img[: p.height, : p.width]
+
+
+def decode_plane(p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
+    """PlaneData -> reconstructed u8 plane (host array)."""
+    return np.asarray(decode_plane_device(p, cfg, chroma))
 
 
 def _decode_stripes(p, cfg, table, mode, n_stripes, bps) -> np.ndarray:
@@ -330,6 +343,13 @@ class ImageCodec:
         # instance, not the wire format
         cfg = c.config.replace(use_pallas=self.config.use_pallas)
         return decode_plane(c.planes[0], cfg)
+
+    def decode_to_device(self, data: bytes) -> jax.Array:
+        """Decode with the reconstruction left ON DEVICE (u8 jax array) —
+        for on-chip consumers; see decode_plane_device."""
+        c = cont.deserialize(data)
+        cfg = c.config.replace(use_pallas=self.config.use_pallas)
+        return decode_plane_device(c.planes[0], cfg)
 
 
 def encode(image: np.ndarray, config: CodecConfig | None = None) -> bytes:

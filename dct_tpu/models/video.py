@@ -107,4 +107,55 @@ class VideoCodec:
         return out
 
     def decode(self, streams: list[bytes]) -> np.ndarray:
-        return np.stack([_codec.decode(s) for s in streams])
+        return np.asarray(self.decode_to_device(streams))
+
+    def decode_to_device(self, streams: list[bytes]) -> jax.Array:
+        """Batched device decode: entropy-decode every frame on the host
+        (C++ thread pool), then ONE vmapped dequant+IDCT dispatch for the
+        whole stack, leaving (F, H, W) u8 on device — the data-loading
+        path for on-chip consumers (decoded frames feeding a model)."""
+        from dct_tpu.ops import blocks as blk
+        from dct_tpu.ops import quant
+        from dct_tpu.models.codec import (
+            _decode_stripes, _fused_decode, _padded_grid,
+        )
+        from dct_tpu.ops import huffman as hf
+
+        conts = [cont.deserialize(s) for s in streams]
+        c0 = conts[0]
+        cfg = c0.config
+        p0 = c0.planes[0]
+        for c in conts[1:]:
+            if (c.config, c.planes[0].height, c.planes[0].width) != (
+                cfg, p0.height, p0.width
+            ):
+                # mixed batch: fall back to per-frame decode
+                return jnp.stack(
+                    [jnp.asarray(_codec.decode(s)) for s in streams]
+                )
+        n = cfg.block_size
+        bh, bw, n_stripes = _padded_grid(p0.height, p0.width, cfg)
+        bps = (bh // n_stripes) * bw
+        mode = cfg.huffman_mode if cfg.use_huffman else "none"
+        table = hf.CanonicalTable(p0.table_lengths) if mode != "none" else None
+
+        zz = np.stack([
+            _decode_stripes(c.planes[0], cfg, table, mode, n_stripes, bps)
+            for c in conts
+        ])  # (F, NB, n2)
+        scale = None
+        if cfg.adaptive:
+            codes = jnp.asarray(
+                np.stack([np.asarray(c.planes[0].variance_codes) for c in conts])
+            )
+            scale = quant.scale_from_variance_code(codes)  # (F, NB)
+
+        def one(z, s):
+            px = _fused_decode(z, cfg, s, False)
+            return blk.blocks_to_image(px, bh * n, bw * n, n)
+
+        if cfg.adaptive:
+            imgs = jax.vmap(one)(jnp.asarray(zz), scale)
+        else:
+            imgs = jax.vmap(lambda z: one(z, None))(jnp.asarray(zz))
+        return imgs[:, : p0.height, : p0.width]

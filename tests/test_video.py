@@ -46,3 +46,33 @@ class TestVideoCodec:
         vc = VideoCodec(CodecConfig(quality=60, adaptive=True))
         rec = vc.decode(vc.encode(frames))
         assert metrics.psnr(rec, frames) >= 28
+
+
+class TestDeviceDecode:
+    def test_decode_to_device_matches_host(self):
+        import jax
+
+        from dct_tpu.models.video import VideoCodec
+        from dct_tpu.utils import image_io
+
+        frames = np.stack([
+            image_io.synthetic_image(48, 64, "photo", seed=s) for s in range(3)
+        ])
+        vc = VideoCodec(CodecConfig(quality=60, adaptive=True))
+        streams = vc.encode(frames)
+        dev = vc.decode_to_device(streams)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev), vc.decode(streams))
+
+    def test_image_decode_to_device(self):
+        import jax
+
+        from dct_tpu.models import codec
+        from dct_tpu.utils import image_io
+
+        img = image_io.synthetic_image(40, 56, "photo", seed=1)
+        ic = codec.ImageCodec(CodecConfig(quality=70))
+        data = ic.encode(img)
+        dev = ic.decode_to_device(data)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev), ic.decode(data))
