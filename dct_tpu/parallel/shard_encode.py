@@ -217,6 +217,60 @@ def encode_image_sharded(
     return cont.serialize(c)
 
 
+def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
+    """Sharded grayscale decode: container bytes -> u8 plane on the mesh.
+
+    The mirror of encode_image_sharded. Entropy decode runs on the host
+    (per-stripe, C++ thread pool); the coefficient grid is placed with
+    stripes over the mesh's stripe axis and ONE sharded dequant+IDCT
+    dispatch reconstructs pixel rows in place — no cross-device traffic at
+    all (8x8 blocks share no pixels, SURVEY.md section 5.7). Returns the
+    device array, row-sharded; np.asarray() it to land on host."""
+    from dct_tpu.models.codec import (
+        _decode_stripes, _fused_decode, _padded_grid,
+    )
+    from dct_tpu.ops import blocks as blk
+    from dct_tpu.ops import quant
+
+    c = cont.deserialize(data)
+    if c.config.chroma != "gray":
+        raise NotImplementedError("sharded decode supports grayscale containers")
+    cfg = c.config
+    p = c.planes[0]
+    n = cfg.block_size
+    bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
+    bps = (bh // n_stripes) * bw
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    table = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
+
+    zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps)  # (NB, n2)
+    block_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    nb = zz.shape[0]
+    pad = (-nb) % (n_dev * bps)
+    if pad:  # replicate-edge blocks so the stripe axis divides the mesh
+        zz = np.concatenate([zz, np.zeros((pad, zz.shape[1]), zz.dtype)])
+    zz_dev = jax.device_put(jnp.asarray(zz), block_sharding)
+    scale = None
+    if cfg.adaptive:
+        codes = np.asarray(p.variance_codes)
+        if pad:
+            codes = np.concatenate([codes, np.zeros(pad, codes.dtype)])
+        scale = quant.scale_from_variance_code(
+            jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P(meshlib.STRIPE_AXIS)))
+        )
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(z, s):
+        px = _fused_decode(z, cfg, s, False)
+        px = jax.lax.with_sharding_constraint(px, block_sharding)
+        img = blk.blocks_to_image(px, (bh + pad // bw) * n, bw * n, n)
+        return img
+
+    img = step(zz_dev, scale)
+    return img[: p.height, : p.width]
+
+
 # ---------------------------------------------------------------------------
 # Batched multi-frame sharded encode (dp x sp) — the "training step" analog
 # ---------------------------------------------------------------------------

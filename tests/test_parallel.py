@@ -115,3 +115,25 @@ class TestBatchStep:
             )
             want = bs.stripes_to_bytes(single)
             assert got == want
+
+
+class TestShardedDecode:
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_sharded_decode_matches_single(self, n_dev):
+        import jax
+
+        from dct_tpu.models import codec
+        from dct_tpu.parallel import mesh as meshlib
+        from dct_tpu.parallel import shard_encode
+        from dct_tpu.utils import image_io
+
+        img = image_io.synthetic_image(88, 112, "photo", seed=6)
+        cfg = CodecConfig(quality=55, adaptive=True, stripe_rows=1)
+        data = codec.ImageCodec(cfg).encode(img)
+        want = codec.ImageCodec(cfg).decode(data)
+
+        mesh = meshlib.make_mesh(
+            n_data=1, n_stripe=n_dev, devices=jax.devices()[:n_dev]
+        )
+        got = np.asarray(shard_encode.decode_image_sharded(data, mesh))
+        np.testing.assert_array_equal(got, want)
