@@ -174,7 +174,7 @@ def cmd_bench(args) -> int:
     import jax.numpy as jnp
 
     from dct_tpu.models import codec
-    from dct_tpu.utils import image_io
+    from dct_tpu.utils import image_io, metrics
 
     w, h = (int(x) for x in args.size.split("x"))
     cfg = _config_from_args(args, color=False).replace(static_tables=True)
@@ -183,20 +183,27 @@ def cmd_bench(args) -> int:
     )
     n_stripes = -(-h // (8 * cfg.stripe_rows))
 
-    @jax.jit
-    def step(fr):
-        packed, _ = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)
-        return packed.units, packed.bit_lengths
+    def make_step(k):
+        @jax.jit
+        def run(fr):
+            def body(i, acc):
+                f = fr ^ (i & 255).astype(jnp.uint8)  # distinct per trip
+                packed, _ = jax.vmap(
+                    lambda im: codec.encode_step(im, cfg, n_stripes)
+                )(f)
+                return acc + jnp.sum(packed.bit_lengths)
 
-    fd = jnp.asarray(frames)
-    jax.block_until_ready(step(fd))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = step(fd)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / args.iters
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    dt, noisy = metrics.kloop_delta_seconds(
+        make_step, jnp.asarray(frames), iters=args.iters
+    )
     mpix = frames.size / dt / 1e6
-    print(f"{mpix:.1f} Mpix/s ({dt*1e3:.2f} ms / {args.frames} frames of {w}x{h})")
+    note = " (noise-dominated: incl. dispatch overhead)" if noisy else ""
+    print(f"{mpix:.1f} Mpix/s ({dt*1e3:.2f} ms / {args.frames} frames of "
+          f"{w}x{h}, dispatch-corrected){note}")
     return 0
 
 

@@ -68,3 +68,31 @@ def measure_throughput(fn, *args, iters: int = 20, warmup: int = 3,
         pixels=pixels,
         iters=iters,
     )
+
+
+def kloop_delta_seconds(make_step, operand, k: int = 9, iters: int = 5):
+    """Dispatch-corrected device timing: seconds per body execution.
+
+    ``make_step(k)`` must return a jitted fn running its body k times in a
+    lax.fori_loop (each trip on DISTINCT data so XLA cannot collapse the
+    bodies) and returning a scalar. Times trip counts 1 and k; the delta
+    cancels the fixed dispatch cost (~32 ms through the axon tunnel,
+    benchmarks/overhead.py). Returns (seconds_per_body, noise_dominated):
+    if the delta is non-positive the single-dispatch time is returned with
+    the flag set — callers should report, not hide, that condition.
+    """
+    import time as _time
+
+    r1, rk = make_step(1), make_step(k)
+
+    def timed(fn):
+        float(fn(operand))  # compile + warmup; scalar fetch = device sync
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            float(fn(operand))
+        return (_time.perf_counter() - t0) / iters
+
+    t1, tk = timed(r1), timed(rk)
+    if tk <= t1:
+        return t1, True
+    return (tk - t1) / (k - 1), False
