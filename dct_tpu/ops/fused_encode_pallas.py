@@ -84,7 +84,8 @@ def _fused_kernel(
     scr_d:     (8R, 128) f32 — hi/lo bytes of the 4 frame digits,
                plane-major [d0hi|d0lo|d1hi|d1lo|...] (f32 storage: Mosaic
                dynamic sublane offsets are unrestricted only for 32-bit;
-               cast to bf16 at the per-row copy)
+               the DEFAULT-precision matmul rounds to bf16 internally,
+               exact for byte values)
     scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
     """
     R = px_ref.shape[1]
