@@ -82,7 +82,7 @@ def main() -> int:
     c0 = cont.deserialize(blobs[0])
     p0_ = c0.planes[0]
     _, _, ns_, bps_ = recovery._geometry(p0_, c0.config)
-    mode_, tbl_ = recovery._table(p0_, c0.config)
+    mode_, tbl_, _run_tbl = recovery._table(p0_, c0.config)
     zz_host = codec._decode_stripes(p0_, c0.config, tbl_, mode_, ns_, bps_)
     zz_dev = jnp.asarray(np.broadcast_to(
         zz_host, (args.frames,) + zz_host.shape
@@ -131,7 +131,7 @@ def main() -> int:
     p0 = parsed[0].planes[0]
     ccfg = parsed[0].config
     _, _, n_stripes, bps = recovery._geometry(p0, ccfg)
-    mode, table = recovery._table(p0, ccfg)
+    mode, table, _run = recovery._table(p0, ccfg)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         for c in parsed:

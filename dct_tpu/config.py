@@ -48,6 +48,13 @@ class CodecConfig:
         a per-image table from the histogram. Single device dispatch (no
         histogram sync), fully jittable end-to-end; slightly worse
         compression. Only meaningful with huffman_mode="category".
+      coded_runs: Huffman-code the run field with its own canonical table
+        (per-image, or the measured default under static_tables) instead of
+        the reference's flat 8 bits (``entropy.c:390``). ~83% of runs are
+        <= 3 on photographic content, so this cuts bitstreams by roughly a
+        third at q50 while every worst-case shape stays identical (run
+        codes are capped at 8 bits). Off by default = wire-compatible with
+        the reference-convention layout.
       use_pallas: route the transform through the fused Pallas kernels
         (ops/transform_pallas.py) instead of the XLA einsum path. On
         non-TPU backends the kernels run in interpreter mode.
@@ -73,6 +80,7 @@ class CodecConfig:
     use_huffman: bool = True
     huffman_mode: HuffmanMode = "category"
     static_tables: bool = False
+    coded_runs: bool = False
     use_pallas: bool = False
     compat_b1: bool = False
     chroma: ChromaMode = "gray"

@@ -18,7 +18,7 @@ Layout (little-endian):
     4  version u8 (= 1)
     5  flags   u8: bit0 adaptive, bit1 use_huffman,
                    bits2-3 huffman_mode (0 category, 1 direct, 2 none),
-                   bit4 compat_b1
+                   bit4 compat_b1, bit5 static_tables, bit6 coded_runs
     6  block_size u8
     7  quality    u8
     8  width      u32
@@ -34,6 +34,7 @@ Layout (little-endian):
       direct:   vmin i32, alphabet_size u16, (alphabet_size + 1) x u8 lengths
                 (last = ESC)
       none:     (empty)
+    coded_runs only: 64 x u8 canonical run-code lengths
     adaptive only: bh*bw x u8 per-block variance codes (padded grid dims)
     n_stripes x u32 stripe bit lengths
     payload: concatenation of byte-aligned stripe substreams
@@ -64,6 +65,7 @@ class PlaneData:
     variance_codes: np.ndarray | None  # (bh*bw,) u8, adaptive only
     stripe_bits: np.ndarray  # (n_stripes,) u32
     stripes: list[bytes]
+    run_table_lengths: np.ndarray | None = None  # coded_runs only, 64 x u8
 
 
 @dataclasses.dataclass
@@ -81,6 +83,7 @@ def _pack_flags(cfg: CodecConfig) -> int:
         | (_HUFFMAN_MODES.index(cfg.huffman_mode) << 2)
         | ((1 if cfg.compat_b1 else 0) << 4)
         | ((1 if cfg.static_tables else 0) << 5)
+        | ((1 if cfg.coded_runs else 0) << 6)
     )
 
 
@@ -110,6 +113,9 @@ def serialize(c: Container) -> bytes:
             lengths = np.asarray(p.table_lengths, np.uint8)
             out += struct.pack("<iH", p.vmin, len(lengths) - 1)
             out += bytes(lengths)
+        if cfg.coded_runs:
+            assert len(p.run_table_lengths) == 64
+            out += bytes(np.asarray(p.run_table_lengths, np.uint8))
         if cfg.adaptive:
             out += bytes(np.asarray(p.variance_codes, np.uint8))
         out += np.asarray(p.stripe_bits, "<u4").tobytes()
@@ -162,6 +168,7 @@ def _deserialize(data: bytes) -> Container:
         huffman_mode=_HUFFMAN_MODES[huffman_idx],
         compat_b1=bool((flags >> 4) & 1),
         static_tables=bool((flags >> 5) & 1),
+        coded_runs=bool((flags >> 6) & 1),
         chroma=_CHROMA_MODES[chroma_idx],
         stripe_rows=stripe_rows,
     )
@@ -194,6 +201,10 @@ def _deserialize(data: bytes) -> Container:
             off += 6
             table = np.frombuffer(data, np.uint8, alpha + 1, off).copy()
             off += alpha + 1
+        run_table = None
+        if cfg.coded_runs:
+            run_table = np.frombuffer(data, np.uint8, 64, off).copy()
+            off += 64
         var_codes = None
         if cfg.adaptive:
             # grid dims after padding to stripe multiples (codec.py contract)
@@ -216,6 +227,7 @@ def _deserialize(data: bytes) -> Container:
             off += nbytes
         planes.append(
             PlaneData(
+                run_table_lengths=run_table,
                 width=pw,
                 height=ph,
                 table_lengths=table,

@@ -69,9 +69,11 @@ def _fused_decode(zz, cfg, scale, chroma):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chroma"))
 def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
-    """Stage 1 on device: padded plane -> (symbols, var_codes, histogram).
+    """Stage 1 on device: padded plane -> (symbols, var_codes, histogram,
+    run_histogram).
 
-    image: (Hp, Wp) u8, already padded to the stripe grid.
+    image: (Hp, Wp) u8, already padded to the stripe grid. run_histogram is
+    a (64,) run-length histogram when cfg.coded_runs, else a zero stub.
     """
     n = cfg.block_size
     pixels = blk.image_to_blocks(image, n)  # (NB, n^2)
@@ -88,14 +90,21 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
         hist = hf.value_histogram(
             symbols.values, symbols.counts, DIRECT_VMIN, -DIRECT_VMIN
         )
+        s_idx = jnp.arange(symbols.values.shape[1])[None, :]
+        live = s_idx < symbols.counts[:, None]
     else:
         # hot path: positional symbols, no compaction sort
         symbols = rle.rle_encode_positional(zz)
+        live = symbols.is_sym
         if cfg.use_huffman and cfg.huffman_mode == "category":
             hist = hf.category_histogram_masked(symbols.values, symbols.is_sym)
         else:
             hist = jnp.zeros(1, jnp.int32)
-    return symbols, var_codes, hist
+    if cfg.coded_runs:
+        run_hist = hf.run_histogram_masked(symbols.runs, live)
+    else:
+        run_hist = jnp.zeros(1, jnp.int32)
+    return symbols, var_codes, hist, run_hist
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
@@ -105,17 +114,25 @@ def encode_pack(
     n_stripes: int,
     lengths: jax.Array,
     codes: jax.Array,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
 ):
     """Stage 2 on device: symbols + canonical table -> packed stripe units."""
+    if cfg.coded_runs and run_lengths is None:
+        raise ValueError("coded_runs requires a run table")
+    rkw = dict(run_lengths=run_lengths, run_codes=run_codes)
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
     if mode == "category":
-        cv, cl = bs.symbol_chunks(symbols, mode, cat_lengths=lengths, cat_codes=codes)
+        cv, cl = bs.symbol_chunks(
+            symbols, mode, cat_lengths=lengths, cat_codes=codes, **rkw
+        )
     elif mode == "direct":
         cv, cl = bs.symbol_chunks(
-            symbols, mode, val_lengths=lengths, val_codes=codes, vmin=DIRECT_VMIN
+            symbols, mode, val_lengths=lengths, val_codes=codes,
+            vmin=DIRECT_VMIN, **rkw
         )
     else:
-        cv, cl = bs.symbol_chunks(symbols, mode)
+        cv, cl = bs.symbol_chunks(symbols, mode, **rkw)
     nb = symbols.values.shape[0]
     bps = nb // n_stripes  # blocks per stripe (static)
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
@@ -139,15 +156,40 @@ def _build_table(cfg: CodecConfig, hist: np.ndarray) -> hf.CanonicalTable | None
     return hf.CanonicalTable.from_frequencies(hist)
 
 
+def _build_run_table(
+    cfg: CodecConfig, run_hist: np.ndarray | None
+) -> hf.CanonicalTable | None:
+    if not cfg.coded_runs:
+        return None
+    if cfg.static_tables or run_hist is None:
+        return hf.default_run_table()
+    # +1 smoothing: every run 0..63 must stay encodable even if absent
+    # from this image (repair re-encodes stripes against the stored table)
+    return hf.CanonicalTable.from_frequencies(
+        np.asarray(run_hist, np.int64) + 1, max_len=hf.RUN_MAX_CODE_LEN
+    )
+
+
+def _table_arrays(t: hf.CanonicalTable | None):
+    if t is None:
+        return jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.uint32)
+    return (
+        jnp.asarray(t.lengths, jnp.int32),
+        jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+    )
+
+
 def _fused_kernel_ok(cfg: CodecConfig) -> bool:
     """Whether the single fused encode kernel applies (TPU + 8x8 blocks +
-    category entropy). Other configs use the staged pipeline."""
+    category entropy, reference-convention runs). Other configs use the
+    staged pipeline (whose device pack kernel handles coded runs too)."""
     return (
         cfg.use_pallas
         and jax.default_backend() == "tpu"
         and cfg.block_size == 8
         and cfg.use_huffman
         and cfg.huffman_mode == "category"
+        and not cfg.coded_runs
     )
 
 
@@ -191,8 +233,11 @@ def encode_step(
     if not cfg.static_tables:
         raise ValueError("encode_step requires cfg.static_tables")
     table = hf.default_category_table()
-    lengths = jnp.asarray(table.lengths, jnp.int32)
-    codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+    lengths, codes = _table_arrays(table)
+    if cfg.coded_runs:
+        run_lengths, run_codes = _table_arrays(_build_run_table(cfg, None))
+    else:
+        run_lengths = run_codes = None
     if _fused_kernel_ok(cfg):
         return encode_fused_step(image, cfg, n_stripes, lengths, codes, chroma)
     n = cfg.block_size
@@ -205,7 +250,9 @@ def encode_step(
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
     symbols = rle.rle_encode_positional(zz)
-    packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
+    packed = encode_pack(
+        symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+    )
     return packed, var_codes
 
 
@@ -227,16 +274,19 @@ def encode_plane(
 
     if cfg.static_tables:
         table = _build_table(cfg, None)
+        run_table = _build_run_table(cfg, None)
         packed, var_codes = encode_step(img, cfg, n_stripes, chroma=chroma)
     else:
-        symbols, var_codes, hist = encode_analyze(img, cfg, chroma=chroma)
+        symbols, var_codes, hist, run_hist = encode_analyze(
+            img, cfg, chroma=chroma
+        )
         table = _build_table(cfg, np.asarray(hist))
-        if table is not None:
-            lengths = jnp.asarray(table.lengths, jnp.int32)
-            codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+        run_table = _build_run_table(cfg, np.asarray(run_hist))
+        lengths, codes = _table_arrays(table)
+        if cfg.coded_runs:
+            run_lengths, run_codes = _table_arrays(run_table)
         else:
-            lengths = jnp.zeros(1, jnp.int32)
-            codes = jnp.zeros(1, jnp.uint32)
+            run_lengths = run_codes = None
         if _fused_kernel_ok(cfg):
             # second dispatch re-runs transform+RLE inside the fused kernel
             # with the real table — still cheaper than the staged pack
@@ -244,7 +294,9 @@ def encode_plane(
                 img, cfg, n_stripes, lengths, codes, chroma
             )
         else:
-            packed = encode_pack(symbols, cfg, n_stripes, lengths, codes)
+            packed = encode_pack(
+                symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+            )
     stripes = bs.stripes_to_bytes(packed)
     return cont.PlaneData(
         width=w,
@@ -254,6 +306,9 @@ def encode_plane(
         variance_codes=np.asarray(var_codes) if cfg.adaptive else None,
         stripe_bits=np.asarray(packed.bit_lengths, np.uint32),
         stripes=stripes,
+        run_table_lengths=(
+            run_table.lengths if run_table is not None else None
+        ),
     )
 
 
@@ -273,8 +328,11 @@ def decode_plane_device(
 
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
     table = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
+    run_table = (
+        hf.CanonicalTable(p.run_table_lengths) if cfg.coded_runs else None
+    )
 
-    zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps)
+    zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps, run_table)
 
     scale = None
     if cfg.adaptive:
@@ -290,7 +348,9 @@ def decode_plane(p: cont.PlaneData, cfg: CodecConfig, chroma: bool = False) -> n
     return np.asarray(decode_plane_device(p, cfg, chroma))
 
 
-def _decode_stripes(p, cfg, table, mode, n_stripes, bps) -> np.ndarray:
+def _decode_stripes(
+    p, cfg, table, mode, n_stripes, bps, run_table=None
+) -> np.ndarray:
     """Entropy-decode all stripes to (NB, n^2) zigzag coefficients.
 
     Uses the native C++ decoder when available (dct_tpu.native), else the
@@ -301,7 +361,7 @@ def _decode_stripes(p, cfg, table, mode, n_stripes, bps) -> np.ndarray:
     n2 = cfg.n2
     if native.available():
         return native.unpack_stripes(
-            p.stripes, bps, n2, mode, table, DIRECT_VMIN
+            p.stripes, bps, n2, mode, table, DIRECT_VMIN, run_table=run_table
         )
     out = []
     for s in range(n_stripes):
@@ -311,6 +371,7 @@ def _decode_stripes(p, cfg, table, mode, n_stripes, bps) -> np.ndarray:
                 cat_table=table if mode == "category" else None,
                 val_table=table if mode == "direct" else None,
                 vmin=DIRECT_VMIN,
+                run_table=run_table,
             )
         )
     return np.concatenate(out, axis=0)

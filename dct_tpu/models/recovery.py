@@ -57,7 +57,10 @@ def _geometry(p: cont.PlaneData, cfg: CodecConfig):
 def _table(p: cont.PlaneData, cfg: CodecConfig):
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
     t = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
-    return mode, t
+    run_t = (
+        hf.CanonicalTable(p.run_table_lengths) if cfg.coded_runs else None
+    )
+    return mode, t, run_t
 
 
 def verify(data: bytes) -> list[int]:
@@ -73,7 +76,7 @@ def verify(data: bytes) -> list[int]:
     p = _require_gray(c)
     cfg = c.config
     _, _, n_stripes, bps = _geometry(p, cfg)
-    mode, table = _table(p, cfg)
+    mode, table, run_table = _table(p, cfg)
     bad = []
     for s in range(n_stripes):
         try:
@@ -83,6 +86,7 @@ def verify(data: bytes) -> list[int]:
                 val_table=table if mode == "direct" else None,
                 vmin=p.vmin,
                 expected_bits=int(p.stripe_bits[s]),
+                run_table=run_table,
             )
         except (ValueError, IndexError):
             bad.append(s)
@@ -105,10 +109,13 @@ def _padded_plane(image: np.ndarray, cfg: CodecConfig) -> jnp.ndarray:
 
 
 def _encode_one_stripe(
-    rows: jnp.ndarray, cfg: CodecConfig, table: hf.CanonicalTable | None
+    rows: jnp.ndarray,
+    cfg: CodecConfig,
+    table: hf.CanonicalTable | None,
+    run_table: hf.CanonicalTable | None = None,
 ):
-    """Encode one stripe's pixel rows against a FIXED table (the
-    container's — never rebuilt from the stripe's own histogram, or a
+    """Encode one stripe's pixel rows against FIXED tables (the
+    container's — never rebuilt from the stripe's own histograms, or a
     dynamic-table repair would drift from the original encode)."""
     pixels = blk.image_to_blocks(rows, cfg.block_size)
     var_codes = None
@@ -119,13 +126,14 @@ def _encode_one_stripe(
         scale = quant.scale_from_variance_code(var_codes)
     zz = codec._fused_encode(pixels, cfg, scale, False)
     symbols = rle.rle_encode_positional(zz)
-    if table is not None:
-        lengths = jnp.asarray(table.lengths, jnp.int32)
-        codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+    lengths, codes = codec._table_arrays(table)
+    if cfg.coded_runs:
+        run_lengths, run_codes = codec._table_arrays(run_table)
     else:
-        lengths = jnp.zeros(1, jnp.int32)
-        codes = jnp.zeros(1, jnp.uint32)
-    packed = codec.encode_pack(symbols, cfg, 1, lengths, codes)
+        run_lengths = run_codes = None
+    packed = codec.encode_pack(
+        symbols, cfg, 1, lengths, codes, run_lengths, run_codes
+    )
     return packed, var_codes
 
 
@@ -149,7 +157,7 @@ def repair(
     if not stripes:
         return data
     _, bw, n_stripes, bps = _geometry(p, cfg)
-    _, table = _table(p, cfg)
+    _, table, run_table = _table(p, cfg)
     img = _padded_plane(source, cfg)
     n = cfg.block_size
     rows_per_stripe = cfg.stripe_rows * n
@@ -163,7 +171,7 @@ def repair(
         if not 0 <= s < n_stripes:
             raise ValueError(f"stripe {s} out of range (n_stripes={n_stripes})")
         rows = img[s * rows_per_stripe : (s + 1) * rows_per_stripe]
-        packed, vc = _encode_one_stripe(rows, cfg, table)
+        packed, vc = _encode_one_stripe(rows, cfg, table, run_table)
         new_stripes[s] = bs.stripes_to_bytes(packed)[0]
         stripe_bits[s] = int(packed.bit_lengths[0])
         if cfg.adaptive:
@@ -177,6 +185,7 @@ def repair(
         variance_codes=var_codes,
         stripe_bits=stripe_bits,
         stripes=new_stripes,
+        run_table_lengths=p.run_table_lengths,
     )
     return cont.serialize(
         cont.Container(config=cfg, width=c.width, height=c.height, planes=[p2])
@@ -192,7 +201,7 @@ def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
     if not 0 <= row0 < row1 <= p.height:
         raise ValueError(f"bad row range [{row0}, {row1}) for height {p.height}")
     _, bw, n_stripes, bps = _geometry(p, cfg)
-    mode, table = _table(p, cfg)
+    mode, table, run_table = _table(p, cfg)
     n = cfg.block_size
     rows_per_stripe = cfg.stripe_rows * n
     s0 = row0 // rows_per_stripe
@@ -206,6 +215,7 @@ def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
                 cat_table=table if mode == "category" else None,
                 val_table=table if mode == "direct" else None,
                 vmin=p.vmin,
+                run_table=run_table,
             )
             for s in range(s0, s1)
         ],

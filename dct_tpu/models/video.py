@@ -25,16 +25,19 @@ from dct_tpu.ops import huffman as hf
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chroma"))
 def _analyze_batch(frames: jax.Array, cfg: CodecConfig, chroma: bool = False):
-    symbols, var_codes, hist = jax.vmap(
+    symbols, var_codes, hist, run_hist = jax.vmap(
         lambda im: _codec.encode_analyze(im, cfg, chroma=chroma)
     )(frames)
-    return symbols, var_codes, jnp.sum(hist, axis=0)
+    return symbols, var_codes, jnp.sum(hist, axis=0), jnp.sum(run_hist, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
-def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes):
+def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes,
+                run_lengths=None, run_codes=None):
     return jax.vmap(
-        lambda s: _codec.encode_pack(s, cfg, n_stripes, lengths, codes)
+        lambda s: _codec.encode_pack(
+            s, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        )
     )(symbols)
 
 
@@ -67,19 +70,22 @@ class VideoCodec:
 
         if cfg.static_tables:
             table = _codec._build_table(cfg, None)
+            run_table = _codec._build_run_table(cfg, None)
             packed, var_codes = jax.vmap(
                 lambda im: _codec.encode_step(im, cfg, n_stripes)
             )(imgs)
         else:
-            symbols, var_codes, hist = _analyze_batch(imgs, cfg)
+            symbols, var_codes, hist, run_hist = _analyze_batch(imgs, cfg)
             table = _codec._build_table(cfg, np.asarray(hist))
-            if table is not None:
-                lengths = jnp.asarray(table.lengths, jnp.int32)
-                codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+            run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
+            lengths, codes = _codec._table_arrays(table)
+            if cfg.coded_runs:
+                run_lengths, run_codes = _codec._table_arrays(run_table)
             else:
-                lengths = jnp.zeros(1, jnp.int32)
-                codes = jnp.zeros(1, jnp.uint32)
-            packed = _pack_batch(symbols, cfg, n_stripes, lengths, codes)
+                run_lengths = run_codes = None
+            packed = _pack_batch(
+                symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+            )
 
         units = np.asarray(packed.units)
         bits = np.asarray(packed.bit_lengths)
@@ -98,6 +104,9 @@ class VideoCodec:
                 variance_codes=var_np[i] if cfg.adaptive else None,
                 stripe_bits=bits[i].astype(np.uint32),
                 stripes=stripes,
+                run_table_lengths=(
+                    run_table.lengths if run_table is not None else None
+                ),
             )
             out.append(
                 cont.serialize(
@@ -138,9 +147,14 @@ class VideoCodec:
         bps = (bh // n_stripes) * bw
         mode = cfg.huffman_mode if cfg.use_huffman else "none"
         table = hf.CanonicalTable(p0.table_lengths) if mode != "none" else None
+        run_table = (
+            hf.CanonicalTable(p0.run_table_lengths) if cfg.coded_runs else None
+        )
 
         zz = np.stack([
-            _decode_stripes(c.planes[0], cfg, table, mode, n_stripes, bps)
+            _decode_stripes(
+                c.planes[0], cfg, table, mode, n_stripes, bps, run_table
+            )
             for c in conts
         ])  # (F, NB, n2)
         scale = None

@@ -59,6 +59,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,     # mode id
         u8p,              # table lengths
         ctypes.c_int,     # table size
+        u8p,              # run-table lengths (coded_runs; unused if size 0)
+        ctypes.c_int,     # run-table size (0 = fixed 8-bit run field)
         ctypes.c_int,     # vmin
         i32p,             # out (n_stripes * bps * n2)
         ctypes.c_int,     # n_threads
@@ -87,6 +89,7 @@ def unpack_stripes(
     mode: str,
     table,
     vmin: int,
+    run_table=None,
     n_threads: int | None = None,
 ) -> np.ndarray:
     """Decode stripe substreams -> (n_stripes * bps, n2) int32 zigzag.
@@ -108,6 +111,12 @@ def unpack_stripes(
         lengths = np.ascontiguousarray(table.lengths, np.uint8)
     else:
         lengths = np.zeros(1, np.uint8)
+    if run_table is not None:
+        run_lengths = np.ascontiguousarray(run_table.lengths, np.uint8)
+        run_size = len(run_lengths)
+    else:
+        run_lengths = np.zeros(1, np.uint8)
+        run_size = 0
     out = np.zeros((n_stripes * blocks_per_stripe, n2), np.int32)
     rc = lib.dctbits_unpack_stripes(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -118,6 +127,8 @@ def unpack_stripes(
         _MODE_IDS[mode],
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(lengths),
+        run_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        run_size,
         vmin,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         n_threads,

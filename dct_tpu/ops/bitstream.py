@@ -58,6 +58,8 @@ def symbol_chunks(
     val_codes: jax.Array | None = None,
     vmin: int = 0,
     esc_index: int = 0,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
 ):
     """Per-symbol (chunk_values (B,S,3) uint32, chunk_lens (B,S,3) int32).
 
@@ -66,6 +68,9 @@ def symbol_chunks(
     identical streams). Accepts compacted RLEBlocks (live = slot < count) or
     positional RLEPositional (live = is_sym) — the hot path uses the latter,
     skipping compaction entirely.
+
+    run_lengths/run_codes: canonical run-code table for cfg.coded_runs mode;
+    None = the reference's fixed 8-bit run field (entropy.c:390).
     """
     if isinstance(symbols, RLEPositional):
         values, runs, live = symbols.values, symbols.runs, symbols.is_sym
@@ -76,8 +81,12 @@ def symbol_chunks(
         s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, S), 1)
         live = s_idx < counts[:, None]
 
-    run_v = runs.astype(jnp.uint32)
-    run_l = jnp.where(live, hf.RUN_BITS, 0).astype(jnp.int32)
+    if run_lengths is not None:
+        run_v = jnp.asarray(run_codes, jnp.uint32)[runs]
+        run_l = jnp.where(live, jnp.asarray(run_lengths, jnp.int32)[runs], 0)
+    else:
+        run_v = runs.astype(jnp.uint32)
+        run_l = jnp.where(live, hf.RUN_BITS, 0).astype(jnp.int32)
 
     if mode == "category":
         cats = hf.category_of(values)
@@ -456,6 +465,7 @@ def unpack_stripe_host(
     val_table: "hf.CanonicalTable | None" = None,
     vmin: int = 0,
     expected_bits: int | None = None,
+    run_table: "hf.CanonicalTable | None" = None,
 ) -> np.ndarray:
     """Decode one stripe substream -> (n_blocks, n2) zigzag coefficients.
 
@@ -489,7 +499,10 @@ def unpack_stripe_host(
             else:
                 raw = r.read_bits(16)
                 v = raw - 0x10000 if raw >= 0x8000 else raw
-            run = r.read_bits(hf.RUN_BITS)
+            if run_table is not None:
+                run = run_table.decode_one(r)
+            else:
+                run = r.read_bits(hf.RUN_BITS)
             pos += run
             if pos < n2:
                 out[b, pos] = v

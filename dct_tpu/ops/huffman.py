@@ -35,6 +35,12 @@ import numpy as np
 MAX_CODE_LEN = 16  # canonical tables cap code length at 16 bits
 NUM_CATEGORIES = 16  # categories 0..15; |value| < 2^15 always holds here
 RUN_BITS = 8  # fixed-length run field, reference convention (entropy.c:390)
+RUN_ALPHABET = 64  # runs 0..n2-1 for 8x8 blocks
+# Coded-runs mode (cfg.coded_runs) Huffman-codes the run field instead of
+# spending a flat 8 bits (~83% of runs are <= 3 on photographic content).
+# Capping run codes at 8 bits keeps every worst-case shape (bits/symbol,
+# units/block, kernel spans) identical to the fixed-run layout.
+RUN_MAX_CODE_LEN = 8
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +295,35 @@ _DEFAULT_CATEGORY_PSEUDO_FREQS = np.array(
 @np.errstate(all="ignore")
 def default_category_table() -> "CanonicalTable":
     return CanonicalTable.from_frequencies(_DEFAULT_CATEGORY_PSEUDO_FREQS)
+
+
+# Run-length frequencies measured over synthetic photographic content at
+# qualities 25-90 (run 0 is ~61% of symbols; the tail bump near 40-63 is the
+# terminal-zero symbol of early-ending blocks). +1 smoothing keeps every run
+# 0..63 encodable with the static table.
+_DEFAULT_RUN_PSEUDO_FREQS = np.array(
+    [36911, 8829, 3351, 1929, 1133, 752, 534, 402, 314, 353, 385, 149,
+     116, 115, 101, 80, 83, 90, 66, 78, 176, 154, 75, 21, 74, 68, 41, 18,
+     48, 63, 64, 58, 57, 42, 28, 27, 35, 24, 43, 115, 46, 47, 3, 216,
+     207, 189, 121, 71, 9, 97, 153, 171, 152, 74, 321, 219, 116, 71, 326,
+     854, 130, 730, 146, 33],
+    np.int64,
+) + 1
+
+
+def default_run_table() -> "CanonicalTable":
+    return CanonicalTable.from_frequencies(
+        _DEFAULT_RUN_PSEUDO_FREQS, max_len=RUN_MAX_CODE_LEN
+    )
+
+
+def run_histogram_masked(runs: jax.Array, live: jax.Array) -> jax.Array:
+    """Histogram of run lengths over live symbols, (RUN_ALPHABET,) int32 —
+    psum-able across shards (coded-runs mode table construction)."""
+    r = jnp.where(live, runs, -1)
+    bins = jnp.arange(RUN_ALPHABET, dtype=jnp.int32)
+    eq = r[..., None] == bins
+    return jnp.sum(eq, axis=tuple(range(eq.ndim - 1)), dtype=jnp.int32)
 
 
 # ---------------------------------------------------------------------------

@@ -137,7 +137,14 @@ def encode_plane_sharded(
         table = _codec._build_table(cfg, None)
         packed, var_codes = _encode_step_sharded(img, cfg, n_stripes_p, mesh)
     else:
-        symbols, var_codes, _ = _codec.encode_analyze(img, cfg)
+        if cfg.coded_runs:
+            # per-image run-table globalization across shards is not wired
+            # up yet; static tables (default run table) shard fine
+            raise NotImplementedError(
+                "coded_runs + dynamic tables under sharded encode: use "
+                "static_tables=True"
+            )
+        symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg)
         if cfg.use_huffman and cfg.huffman_mode == "category":
             from dct_tpu.ops.rle import RLEPositional
 

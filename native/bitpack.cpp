@@ -154,15 +154,33 @@ inline int32_t value_from_category(int cat, uint32_t extra) {
 
 void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
                        int mode, const CanonicalTable* table, int vmin,
-                       int n_alpha, int32_t* out, int* err) {
+                       int n_alpha, const CanonicalTable* run_table,
+                       int32_t* out, int* err) {
   BitReader r{data, nbytes};
+  // With the reference-convention fixed 8-bit run field, one peek64 covers
+  // the whole symbol (code <=16b + payload <=16b + run 8b). With a coded
+  // run (cfg.coded_runs), the run code is decoded from a second peek after
+  // consuming the value part — still O(1) via its own LUT.
+  auto read_run = [&](uint64_t w, int consumed) -> int {
+    if (!run_table) {
+      uint32_t run = (uint32_t)((w << consumed) >> (64 - kRunBits));
+      r.consume(consumed + kRunBits);
+      return (int)run;
+    }
+    r.consume(consumed);
+    uint64_t w2 = r.peek64();
+    int rl;
+    int run = r.decode_symbol(*run_table, w2, &rl);
+    if (run < 0) return -1;
+    r.consume(rl);
+    return run;
+  };
   for (int b = 0; b < bps; ++b) {
     int32_t* blockp = out + (int64_t)b * n2;
     int pos = 0;
     while (pos < n2) {
       int32_t v = 0;
-      uint32_t run;
-      // one peek64 per symbol: code (<=16b) + payload (<=16b) + run (8b)
+      int run;
       uint64_t w = r.peek64();
       if (mode == kCategory) {
         int len;
@@ -170,8 +188,7 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
         if (cat < 0) { *err = 2; return; }
         uint32_t extra =
             cat ? (uint32_t)((w << len) >> (64 - cat)) : 0;
-        run = (uint32_t)((w << (len + cat)) >> (64 - kRunBits));
-        r.consume(len + cat + kRunBits);
+        run = read_run(w, len + cat);
         v = value_from_category(cat, extra);
       } else if (mode == kDirect) {
         int len;
@@ -180,20 +197,18 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
         if (sym == n_alpha) {  // ESC: raw 16-bit two's complement
           uint32_t raw = (uint32_t)((w << len) >> 48);
           v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
-          run = (uint32_t)((w << (len + 16)) >> (64 - kRunBits));
-          r.consume(len + 16 + kRunBits);
+          run = read_run(w, len + 16);
         } else {
           v = sym + vmin;
-          run = (uint32_t)((w << len) >> (64 - kRunBits));
-          r.consume(len + kRunBits);
+          run = read_run(w, len);
         }
       } else {
         uint32_t raw = (uint32_t)(w >> 48);
         v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
-        run = (uint32_t)((w << 16) >> (64 - kRunBits));
-        r.consume(16 + kRunBits);
+        run = read_run(w, 16);
       }
-      pos += (int)run;
+      if (run < 0) { *err = 2; return; }
+      pos += run;
       if (pos < n2) blockp[pos++] = v;
     }
     if (!r.ok()) { *err = 3; return; }
@@ -210,16 +225,20 @@ extern "C" {
 int dctbits_unpack_stripes(const uint8_t* blob, const uint64_t* offsets,
                            int n_stripes, int bps, int n2, int mode,
                            const uint8_t* table_lengths, int table_size,
+                           const uint8_t* run_lengths, int run_table_size,
                            int vmin, int32_t* out, int n_threads) {
   CanonicalTable table;
   int n_alpha = table_size - 1;  // direct mode: last symbol is ESC
   if (mode != kNone) table.build(table_lengths, table_size);
+  CanonicalTable run_table;  // run_table_size == 0: fixed 8-bit run field
+  if (run_table_size > 0) run_table.build(run_lengths, run_table_size);
+  const CanonicalTable* run_ptr = run_table_size > 0 ? &run_table : nullptr;
 
   std::vector<int> errs(n_stripes, 0);
   auto work = [&](int lo, int hi) {
     for (int s = lo; s < hi; ++s) {
       decode_one_stripe(blob + offsets[s], offsets[s + 1] - offsets[s], bps,
-                        n2, mode, &table, vmin, n_alpha,
+                        n2, mode, &table, vmin, n_alpha, run_ptr,
                         out + (int64_t)s * bps * n2, &errs[s]);
     }
   };
