@@ -34,7 +34,7 @@ Layout (little-endian):
       direct:   vmin i32, alphabet_size u16, (alphabet_size + 1) x u8 lengths
                 (last = ESC)
       none:     (empty)
-    coded_runs only: 64 x u8 canonical run-code lengths
+    coded_runs only: 65 x u8 canonical run-code lengths (runs 0..64)
     adaptive only: bh*bw x u8 per-block variance codes (padded grid dims)
     n_stripes x u32 stripe bit lengths
     payload: concatenation of byte-aligned stripe substreams
@@ -114,7 +114,7 @@ def serialize(c: Container) -> bytes:
             out += struct.pack("<iH", p.vmin, len(lengths) - 1)
             out += bytes(lengths)
         if cfg.coded_runs:
-            assert len(p.run_table_lengths) == 64
+            assert len(p.run_table_lengths) == 65
             out += bytes(np.asarray(p.run_table_lengths, np.uint8))
         if cfg.adaptive:
             out += bytes(np.asarray(p.variance_codes, np.uint8))
@@ -203,8 +203,8 @@ def _deserialize(data: bytes) -> Container:
             off += alpha + 1
         run_table = None
         if cfg.coded_runs:
-            run_table = np.frombuffer(data, np.uint8, 64, off).copy()
-            off += 64
+            run_table = np.frombuffer(data, np.uint8, 65, off).copy()
+            off += 65
         var_codes = None
         if cfg.adaptive:
             # grid dims after padding to stripe multiples (codec.py contract)

@@ -181,15 +181,14 @@ def _table_arrays(t: hf.CanonicalTable | None):
 
 def _fused_kernel_ok(cfg: CodecConfig) -> bool:
     """Whether the single fused encode kernel applies (TPU + 8x8 blocks +
-    category entropy, reference-convention runs). Other configs use the
-    staged pipeline (whose device pack kernel handles coded runs too)."""
+    category entropy, with or without coded runs). Other configs use the
+    staged pipeline."""
     return (
         cfg.use_pallas
         and jax.default_backend() == "tpu"
         and cfg.block_size == 8
         and cfg.use_huffman
         and cfg.huffman_mode == "category"
-        and not cfg.coded_runs
     )
 
 
@@ -201,8 +200,10 @@ def encode_fused_step(
     lengths: jax.Array,
     codes: jax.Array,
     chroma: bool = False,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
 ):
-    """Single-kernel encode: padded plane + canonical table -> packed
+    """Single-kernel encode: padded plane + canonical table(s) -> packed
     stripes (ops/fused_encode_pallas.py). Byte-identical to the staged
     pipeline; HBM sees only pixels in and units out."""
     from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
@@ -217,6 +218,7 @@ def encode_fused_step(
     packed = encode_stripes_fused(
         pixels, cfg, n_stripes, lengths, codes,
         adaptive_scale=scale, chroma=chroma,
+        run_lengths=run_lengths, run_codes=run_codes,
     )
     return packed, var_codes
 
@@ -239,7 +241,10 @@ def encode_step(
     else:
         run_lengths = run_codes = None
     if _fused_kernel_ok(cfg):
-        return encode_fused_step(image, cfg, n_stripes, lengths, codes, chroma)
+        return encode_fused_step(
+            image, cfg, n_stripes, lengths, codes, chroma,
+            run_lengths, run_codes,
+        )
     n = cfg.block_size
     pixels = blk.image_to_blocks(image, n)
     var_codes = None
@@ -289,9 +294,10 @@ def encode_plane(
             run_lengths = run_codes = None
         if _fused_kernel_ok(cfg):
             # second dispatch re-runs transform+RLE inside the fused kernel
-            # with the real table — still cheaper than the staged pack
+            # with the real tables — still cheaper than the staged pack
             packed, var_codes = encode_fused_step(
-                img, cfg, n_stripes, lengths, codes, chroma
+                img, cfg, n_stripes, lengths, codes, chroma,
+                run_lengths, run_codes,
             )
         else:
             packed = encode_pack(

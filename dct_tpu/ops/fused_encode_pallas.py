@@ -69,13 +69,15 @@ def _round_half_away_i32(x):
 
 
 def _fused_kernel(
-    len_ref, code_ref, px_ref, m_ref, b_ref, scale_ref,
+    len_ref, code_ref, rlen_ref, rcode_ref, px_ref, m_ref, b_ref, scale_ref,
     units_ref, bits_ref, scr_k, scr_d, scr_base,
-    *, n_live_blocks: int, adaptive: bool, run_bits: int,
+    *, n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
 ):
     """One grid cell = one stripe. See module docstring.
 
     len_ref/code_ref: (1, 1, 16) i32 SMEM — canonical category table
+    rlen_ref/rcode_ref: (1, 1, 65) i32 SMEM — canonical run-code table
+               (cfg.coded_runs; stubs when the fixed 8-bit field is used)
     px_ref:    (1, R, 128) u8 — 2 blocks per row
     m_ref:     (128, 128) f32; b_ref: (1, 128) f32
     scale_ref: (1, R, 2) f32 — adaptive quantize-divisor scale (ones if off)
@@ -141,7 +143,21 @@ def _fused_kernel(
     adj = jnp.where(v < 0, v + (1 << cat) - 1, v)
     bv = adj & ((1 << cat) - 1)
     lb = jnp.where(is_sym, cat, 0)
-    lc = jnp.where(is_sym, run_bits, 0)
+    if coded_runs:
+        # run field gets its own canonical code (<= 8 bits, so every
+        # worst-case shape matches the fixed-run layout): 64 selects
+        # against the SMEM run table, same technique as the categories
+        rl = jnp.zeros_like(cat)
+        rc = jnp.zeros_like(cat)
+        for c in range(65):  # runs 0..64 (64 = all-zero block terminal)
+            rsel = run == c
+            rl = rl + jnp.where(rsel, rlen_ref[0, 0, c], 0)
+            rc = rc + jnp.where(rsel, rcode_ref[0, 0, c], 0)
+        lc = jnp.where(is_sym, rl, 0)
+        rv = jnp.where(is_sym, rc, 0)
+    else:
+        lc = jnp.where(is_sym, run_bits, 0)
+        rv = run
     t3 = la + lb + lc
 
     # ---- 4. stream bit offsets --------------------------------------------
@@ -165,15 +181,16 @@ def _fused_kernel(
     off = block_base + pex  # bit offset of the symbol's fused window
 
     # ---- fused window digits ----------------------------------------------
-    # V = (code<<cat | extra)<<8 | run, L3 = t3 <= 39 bits, placed at frame
-    # bits [sh, sh+L3) of a 64-bit MSB-first frame starting at unit off>>4.
-    # Emulate the 64-bit frame with two 32-bit contributions:
-    #   T = code<<cat | extra (< 2^31) shifted by nT = 72 - sh - L3
-    #   run                   (< 2^8)  shifted by nR = 64 - sh - L3
+    # V = (code<<cat | extra)<<lc | runfield, L3 = t3 <= 39 bits, placed at
+    # frame bits [sh, sh+L3) of a 64-bit MSB-first frame starting at unit
+    # off>>4 (lc = 8 fixed, or the dynamic run-code length <= 8). Emulate
+    # the 64-bit frame with two 32-bit contributions:
+    #   T = code<<cat | extra (< 2^31) shifted by nT = 64 - sh - L3 + lc
+    #   runfield              (< 2^8)  shifted by nR = 64 - sh - L3
     # Digit j = frame bits [16j, 16j+16) = (frame >> (48 - 16j)) & 0xFFFF.
     sh = off & 15
     T = jnp.where(is_sym, (ca << lb) | bv, 0)
-    nT = 72 - sh - t3
+    nT = 64 - sh - t3 + lc
     nR = 64 - sh - t3
 
     def digit(x, n, j):
@@ -187,7 +204,7 @@ def _fused_kernel(
 
     scr_k[:] = off >> 4
     for j in range(4):
-        d = digit(run, nR, j)
+        d = digit(rv, nR, j)
         if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
             d = d | digit(T, nT, j)
         scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
@@ -236,12 +253,15 @@ def encode_stripes_fused(
     cat_codes: jax.Array,
     adaptive_scale: jax.Array | None = None,
     chroma: bool = False,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
 ) -> PackedStripes:
     """(NB, 64) u8 blocks -> packed stripes, entirely on device.
 
     Semantically identical (byte-identical streams) to
     rle_encode_positional + symbol_chunks + pack_chunks, fused with the
-    transform. Requires block_size 8 and category mode.
+    transform. Requires block_size 8 and category mode. run_lengths/
+    run_codes: (64,) canonical run table for cfg.coded_runs.
     """
     from dct_tpu.ops import bitstream as bs
 
@@ -275,12 +295,21 @@ def encode_stripes_fused(
 
     lens3 = cat_lengths.astype(jnp.int32).reshape(1, 1, -1)
     codes3 = cat_codes.astype(jnp.int32).reshape(1, 1, -1)
+    if cfg.coded_runs:
+        if run_lengths is None:
+            raise ValueError("coded_runs fused encode requires a run table")
+        rlens3 = run_lengths.astype(jnp.int32).reshape(1, 1, 65)
+        rcodes3 = run_codes.astype(jnp.int32).reshape(1, 1, 65)
+    else:
+        rlens3 = jnp.zeros((1, 1, 65), jnp.int32)
+        rcodes3 = jnp.zeros((1, 1, 65), jnp.int32)
 
     kernel = functools.partial(
         _fused_kernel,
         n_live_blocks=bps,
         adaptive=cfg.adaptive,
         run_bits=8,
+        coded_runs=cfg.coded_runs,
     )
     units, bits = pl.pallas_call(
         kernel,
@@ -288,6 +317,8 @@ def encode_stripes_fused(
         in_specs=[
             pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -313,7 +344,7 @@ def encode_stripes_fused(
             bytes_accessed=n_stripes * (R * 128 + U_pad * 4),
             transcendentals=0,
         ),
-    )(lens3, codes3, px, jnp.asarray(m2), jnp.asarray(b2), s)
+    )(lens3, codes3, rlens3, rcodes3, px, jnp.asarray(m2), jnp.asarray(b2), s)
     return PackedStripes(
         units=units[:, 0, :units_capacity], bit_lengths=bits[:, 0, 0]
     )

@@ -35,7 +35,10 @@ import numpy as np
 MAX_CODE_LEN = 16  # canonical tables cap code length at 16 bits
 NUM_CATEGORIES = 16  # categories 0..15; |value| < 2^15 always holds here
 RUN_BITS = 8  # fixed-length run field, reference convention (entropy.c:390)
-RUN_ALPHABET = 64  # runs 0..n2-1 for 8x8 blocks
+# Runs 0..n2: the positional RLE's terminal-zero symbol of an ALL-ZERO
+# block carries run = n2 (64 zeros precede nothing; the decoder's pos+=run
+# then simply ends the block), so the alphabet has 65 entries for 8x8.
+RUN_ALPHABET = 65
 # Coded-runs mode (cfg.coded_runs) Huffman-codes the run field instead of
 # spending a flat 8 bits (~83% of runs are <= 3 on photographic content).
 # Capping run codes at 8 bits keeps every worst-case shape (bits/symbol,
@@ -306,7 +309,8 @@ _DEFAULT_RUN_PSEUDO_FREQS = np.array(
      116, 115, 101, 80, 83, 90, 66, 78, 176, 154, 75, 21, 74, 68, 41, 18,
      48, 63, 64, 58, 57, 42, 28, 27, 35, 24, 43, 115, 46, 47, 3, 216,
      207, 189, 121, 71, 9, 97, 153, 171, 152, 74, 321, 219, 116, 71, 326,
-     854, 130, 730, 146, 33],
+     854, 130, 730, 146, 33,
+     200],  # run 64: the all-zero block's terminal symbol
     np.int64,
 ) + 1
 

@@ -102,3 +102,16 @@ def test_color_and_video_coded_runs(image):
             VideoCodec(CodecConfig(quality=60)).encode(frames)
         ),
     )
+
+
+def test_all_zero_blocks_run64():
+    """An all-zero block's terminal symbol carries run = 64 (the full
+    alphabet's last entry); regression for the 64-entry table that
+    clip-indexed it. Flat-128 input quantizes to all-zero blocks."""
+    img = np.full((32, 40), 128, np.uint8)
+    for static in (False, True):
+        cfg = CodecConfig(quality=50, coded_runs=True, static_tables=static)
+        data = codec.ImageCodec(cfg).encode(img)
+        assert recovery.verify(data) == []
+        rec = codec.ImageCodec(cfg).decode(data)
+        np.testing.assert_array_equal(rec, img)

@@ -21,10 +21,13 @@ from dct_tpu.ops import quant, rle, transform
 from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
 
 
-def _staged(pixels, cfg, n_stripes, lengths, codes, scale):
+def _staged(pixels, cfg, n_stripes, lengths, codes, scale,
+            run_lengths=None, run_codes=None):
     zz = transform.encode_blocks(pixels, cfg, adaptive_scale=scale)
     symbols = rle.rle_encode_positional(zz)
-    return codec.encode_pack(symbols, cfg, n_stripes, lengths, codes)
+    return codec.encode_pack(
+        symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+    )
 
 
 def _table():
@@ -33,6 +36,46 @@ def _table():
         jnp.asarray(t.lengths, jnp.int32),
         jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
     )
+
+
+def _run_table():
+    t = hf.default_run_table()
+    return (
+        jnp.asarray(t.lengths, jnp.int32),
+        jnp.asarray(t.codes.astype(np.int64), jnp.uint32),
+    )
+
+
+@pytest.mark.parametrize("bps", [8, 9])
+@pytest.mark.parametrize("adaptive", [False, True])
+def test_fused_coded_runs_matches_staged(bps, adaptive):
+    cfg = CodecConfig(
+        quality=50, adaptive=adaptive, static_tables=True, coded_runs=True
+    )
+    n_stripes = 3
+    nb = n_stripes * bps
+    rng = np.random.default_rng(nb + adaptive)
+    base = rng.integers(40, 216, (nb, 1)).astype(np.float64)
+    amp = (np.arange(nb) % 9).reshape(nb, 1) * 7.0
+    px = np.clip(base + rng.normal(0, 1, (nb, 64)) * amp, 0, 255)
+    pixels = jnp.asarray(px.astype(np.uint8))
+
+    scale = None
+    if adaptive:
+        var = quant.block_variance(transform.level_shift(pixels))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+
+    lengths, codes = _table()
+    rl, rc = _run_table()
+    want = _staged(pixels, cfg, n_stripes, lengths, codes, scale, rl, rc)
+    got = encode_stripes_fused(
+        pixels, cfg, n_stripes, lengths, codes,
+        adaptive_scale=scale, run_lengths=rl, run_codes=rc,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
 
 
 @pytest.mark.parametrize("bps", [8, 9, 30])  # even + odd blocks per stripe
