@@ -105,6 +105,24 @@ def global_category_histogram(
     return f(values, live)
 
 
+def global_run_histogram(
+    runs: jax.Array, live: jax.Array, mesh: Mesh
+) -> jax.Array:
+    """psum of per-shard run-length histograms (coded_runs tables)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(meshlib.STRIPE_AXIS, None), P(meshlib.STRIPE_AXIS, None)),
+        out_specs=P(),
+    )
+    def f(r, m):
+        local = hf.run_histogram_masked(r, m)
+        return jax.lax.psum(local, meshlib.STRIPE_AXIS)
+
+    return f(runs, live)
+
+
 def encode_plane_sharded(
     plane: np.ndarray, cfg: CodecConfig, mesh: Mesh
 ) -> cont.PlaneData:
@@ -114,6 +132,7 @@ def encode_plane_sharded(
     n = cfg.block_size
     bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    bh_real = bh  # block rows before mesh padding (histogram masking)
     if n_stripes % n_dev != 0:
         # pad the stripe count so it divides the mesh; extra stripes hold
         # replicated edge rows and are dropped at container assembly
@@ -135,35 +154,42 @@ def encode_plane_sharded(
 
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
         packed, var_codes = _encode_step_sharded(img, cfg, n_stripes_p, mesh)
     else:
-        if cfg.coded_runs:
-            # per-image run-table globalization across shards is not wired
-            # up yet; static tables (default run table) shard fine
-            raise NotImplementedError(
-                "coded_runs + dynamic tables under sharded encode: use "
-                "static_tables=True"
-            )
         symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg)
-        if cfg.use_huffman and cfg.huffman_mode == "category":
-            from dct_tpu.ops.rle import RLEPositional
+        from dct_tpu.ops.rle import RLEPositional
 
-            if isinstance(symbols, RLEPositional):
-                live = symbols.is_sym
-            else:
-                s_idx = jnp.arange(symbols.values.shape[1])[None, :]
-                live = s_idx < symbols.counts[:, None]
+        if isinstance(symbols, RLEPositional):
+            live = symbols.is_sym
+        else:
+            s_idx = jnp.arange(symbols.values.shape[1])[None, :]
+            live = s_idx < symbols.counts[:, None]
+        # mesh-pad stripes (added only so the stripe count divides the
+        # device count) must NOT contaminate the global histograms, or the
+        # table — and the whole container — would depend on the mesh shape
+        nb_real = bh_real * bw
+        live = live & (
+            jnp.arange(symbols.values.shape[0])[:, None] < nb_real
+        )
+        if cfg.use_huffman and cfg.huffman_mode == "category":
             hist = global_category_histogram(symbols.values, live, mesh)
         else:
             hist = _hist_fallback(symbols, cfg)
         table = _codec._build_table(cfg, np.asarray(hist))
-        if table is not None:
-            lengths = jnp.asarray(table.lengths, jnp.int32)
-            codes = jnp.asarray(table.codes.astype(np.int64), jnp.uint32)
+        if cfg.coded_runs:
+            # second collective: psum the run histogram so every shard
+            # derives the identical run table
+            run_hist = global_run_histogram(symbols.runs, live, mesh)
+            run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
+            run_lengths, run_codes = _codec._table_arrays(run_table)
         else:
-            lengths = jnp.zeros(1, jnp.int32)
-            codes = jnp.zeros(1, jnp.uint32)
-        packed = _codec.encode_pack(symbols, cfg, n_stripes_p, lengths, codes)
+            run_table = None
+            run_lengths = run_codes = None
+        lengths, codes = _codec._table_arrays(table)
+        packed = _codec.encode_pack(
+            symbols, cfg, n_stripes_p, lengths, codes, run_lengths, run_codes
+        )
 
     # collective offsets (exercised + returned for the container writer)
     _ = stripe_byte_offsets(packed.bit_lengths, mesh)
@@ -184,6 +210,9 @@ def encode_plane_sharded(
         ),
         stripe_bits=np.asarray(packed.bit_lengths, np.uint32)[:n_stripes],
         stripes=stripes,
+        run_table_lengths=(
+            run_table.lengths if run_table is not None else None
+        ),
     )
 
 

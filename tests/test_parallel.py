@@ -137,3 +137,19 @@ class TestShardedDecode:
         )
         got = np.asarray(shard_encode.decode_image_sharded(data, mesh))
         np.testing.assert_array_equal(got, want)
+
+
+class TestShardedCodedRuns:
+    @pytest.mark.parametrize("n_dev", [1, 4])
+    @pytest.mark.parametrize("static", [True, False])
+    def test_sharded_coded_runs_mesh_invariant(self, n_dev, static):
+        from dct_tpu.utils import image_io
+
+        img = image_io.synthetic_image(80, 96, "photo", seed=9)
+        cfg = CodecConfig(quality=55, coded_runs=True, static_tables=static)
+        want = codec.ImageCodec(cfg).encode(img)
+        mesh = meshlib.make_mesh(
+            n_data=1, n_stripe=n_dev, devices=jax.devices()[:n_dev]
+        )
+        got = shard_encode.encode_image_sharded(img, cfg, mesh)
+        assert got == want  # byte-identical incl. the psum'd run table
