@@ -31,6 +31,9 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--coded-runs", action="store_true",
                    help="Huffman-code run lengths (~40%% smaller files than "
                         "the reference's fixed 8-bit run field)")
+    p.add_argument("--dc-prediction", action="store_true",
+                   help="delta-code DC coefficients within each stripe "
+                        "(smaller files; the reference codes DCs raw)")
     p.add_argument("--stripe-rows", type=int, default=1,
                    help="block rows per bitstream stripe")
     p.add_argument("--chroma", choices=("gray", "444", "420"), default=None,
@@ -53,6 +56,7 @@ def _config_from_args(args, color: bool):
         huffman_mode=args.huffman,
         static_tables=args.static_tables,
         coded_runs=args.coded_runs,
+        dc_prediction=args.dc_prediction,
         stripe_rows=args.stripe_rows,
         chroma=chroma,
         use_pallas=args.pallas,
@@ -105,6 +109,7 @@ def cmd_info(args) -> int:
         "huffman_mode": cfg.huffman_mode if cfg.use_huffman else "none",
         "static_tables": cfg.static_tables,
         "coded_runs": cfg.coded_runs,
+        "dc_prediction": cfg.dc_prediction,
         "chroma": cfg.chroma,
         "stripe_rows": cfg.stripe_rows,
         "planes": [

@@ -48,6 +48,11 @@ class CodecConfig:
         a per-image table from the histogram. Single device dispatch (no
         histogram sync), fully jittable end-to-end; slightly worse
         compression. Only meaningful with huffman_mode="category".
+      dc_prediction: delta-code each block's DC coefficient against the
+        previous block within its stripe (stripe-local DPCM, like JPEG's
+        DC prediction — the reference codes every DC raw). Lossless in the
+        integer domain, preserves per-stripe independence (recovery,
+        sharding), and combines with coded_runs for the smallest files.
       coded_runs: Huffman-code the run field with its own canonical table
         (per-image, or the measured default under static_tables) instead of
         the reference's flat 8 bits (``entropy.c:390``). ~83% of runs are
@@ -81,6 +86,7 @@ class CodecConfig:
     huffman_mode: HuffmanMode = "category"
     static_tables: bool = False
     coded_runs: bool = False
+    dc_prediction: bool = False
     use_pallas: bool = False
     compat_b1: bool = False
     chroma: ChromaMode = "gray"

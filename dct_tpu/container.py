@@ -18,7 +18,8 @@ Layout (little-endian):
     4  version u8 (= 1)
     5  flags   u8: bit0 adaptive, bit1 use_huffman,
                    bits2-3 huffman_mode (0 category, 1 direct, 2 none),
-                   bit4 compat_b1, bit5 static_tables, bit6 coded_runs
+                   bit4 compat_b1, bit5 static_tables, bit6 coded_runs,
+                   bit7 dc_prediction
     6  block_size u8
     7  quality    u8
     8  width      u32
@@ -84,6 +85,7 @@ def _pack_flags(cfg: CodecConfig) -> int:
         | ((1 if cfg.compat_b1 else 0) << 4)
         | ((1 if cfg.static_tables else 0) << 5)
         | ((1 if cfg.coded_runs else 0) << 6)
+        | ((1 if cfg.dc_prediction else 0) << 7)
     )
 
 
@@ -169,6 +171,7 @@ def _deserialize(data: bytes) -> Container:
         compat_b1=bool((flags >> 4) & 1),
         static_tables=bool((flags >> 5) & 1),
         coded_runs=bool((flags >> 6) & 1),
+        dc_prediction=bool((flags >> 7) & 1),
         chroma=_CHROMA_MODES[chroma_idx],
         stripe_rows=stripe_rows,
     )

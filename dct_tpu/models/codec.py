@@ -47,6 +47,28 @@ def _padded_grid(h: int, w: int, cfg: CodecConfig) -> tuple[int, int, int]:
     return bh, bw, bh // cfg.stripe_rows
 
 
+def dc_predict(zz: jax.Array, n_stripes: int) -> jax.Array:
+    """Stripe-local DC DPCM (cfg.dc_prediction): each block's DC becomes
+    the delta against the previous block in its stripe (first block raw).
+    Integer-domain, exactly invertible by dc_reconstruct; stripe-local so
+    per-stripe independence (recovery, sharded encode) is preserved."""
+    nb = zz.shape[0]
+    dc = zz[:, 0].reshape(n_stripes, nb // n_stripes)
+    prev = jnp.pad(dc[:, :-1], ((0, 0), (1, 0)))
+    return zz.at[:, 0].set((dc - prev).reshape(-1))
+
+
+def dc_reconstruct(zz, n_stripes: int):
+    """Inverse of dc_predict (works on jax or numpy arrays)."""
+    nb = zz.shape[0]
+    dc = zz[:, 0].reshape(n_stripes, nb // n_stripes)
+    if isinstance(zz, np.ndarray):
+        out = zz.copy()
+        out[:, 0] = np.cumsum(dc, axis=1).reshape(-1)
+        return out
+    return zz.at[:, 0].set(jnp.cumsum(dc, axis=1).reshape(-1))
+
+
 def _fused_encode(pixels, cfg, scale, chroma):
     if cfg.use_pallas:
         from dct_tpu.ops import transform_pallas
@@ -84,6 +106,9 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
+    if cfg.dc_prediction:
+        n_stripes = (image.shape[0] // n) // cfg.stripe_rows
+        zz = dc_predict(zz, n_stripes)
     if cfg.use_huffman and cfg.huffman_mode == "direct":
         # direct mode histograms over a 513-bin alphabet; compacted form
         symbols = rle.rle_encode(zz)
@@ -189,6 +214,9 @@ def _fused_kernel_ok(cfg: CodecConfig) -> bool:
         and cfg.block_size == 8
         and cfg.use_huffman
         and cfg.huffman_mode == "category"
+        # DC DPCM needs a cross-block cumsum the fused per-stripe kernel
+        # does not implement yet; route to the staged pipeline.
+        and not cfg.dc_prediction
     )
 
 
@@ -254,6 +282,8 @@ def encode_step(
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
+    if cfg.dc_prediction:
+        zz = dc_predict(zz, n_stripes)
     symbols = rle.rle_encode_positional(zz)
     packed = encode_pack(
         symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
@@ -339,6 +369,8 @@ def decode_plane_device(
     )
 
     zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps, run_table)
+    if cfg.dc_prediction:
+        zz = dc_reconstruct(zz, n_stripes)
 
     scale = None
     if cfg.adaptive:

@@ -125,6 +125,8 @@ def _encode_one_stripe(
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = codec._fused_encode(pixels, cfg, scale, False)
+    if cfg.dc_prediction:
+        zz = codec.dc_predict(zz, 1)
     symbols = rle.rle_encode_positional(zz)
     lengths, codes = codec._table_arrays(table)
     if cfg.coded_runs:
@@ -221,6 +223,8 @@ def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
         ],
         axis=0,
     )
+    if cfg.dc_prediction:
+        zz = codec.dc_reconstruct(zz, s1 - s0)
     scale = None
     if cfg.adaptive:
         codes = jnp.asarray(p.variance_codes[s0 * bps : s1 * bps])

@@ -157,6 +157,8 @@ class VideoCodec:
             )
             for c in conts
         ])  # (F, NB, n2)
+        if cfg.dc_prediction:
+            zz = np.stack([_codec.dc_reconstruct(z, n_stripes) for z in zz])
         scale = None
         if cfg.adaptive:
             codes = jnp.asarray(

@@ -31,7 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 top-level API
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from dct_tpu import container as cont
 from dct_tpu.config import CodecConfig
@@ -278,8 +281,15 @@ def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
     bps = (bh // n_stripes) * bw
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
     table = hf.CanonicalTable(p.table_lengths) if mode != "none" else None
+    run_table = (
+        hf.CanonicalTable(p.run_table_lengths) if cfg.coded_runs else None
+    )
 
-    zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps)  # (NB, n2)
+    zz = _decode_stripes(
+        p, cfg, table, mode, n_stripes, bps, run_table
+    )  # (NB, n2)
+    if cfg.dc_prediction:
+        zz = _codec.dc_reconstruct(zz, n_stripes)
     block_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
     nb = zz.shape[0]
