@@ -38,11 +38,14 @@ def main() -> int:
     img = image_io.synthetic_image(h, w, "photo", seed=0)
     have_oracle = oracle.available()
 
-    print(f"{'q':>4} {'bytes':>8} {'ratio':>7} {'coded-runs':>10} {'PSNR':>7} "
-          f"{'PSNR(B1)':>9} {'C-ref blk PSNR':>15}")
+    print(f"{'q':>4} {'bytes':>8} {'ratio':>7} {'coded-runs':>10} {'+dc-pred':>9} "
+          f"{'PSNR':>7} {'PSNR(B1)':>9} {'C-ref blk PSNR':>15}")
     for q in (int(x) for x in args.qualities.split(",")):
         data = codec.encode(img, CodecConfig(quality=q))
         cr_bytes = len(codec.encode(img, CodecConfig(quality=q, coded_runs=True)))
+        best_bytes = len(codec.encode(
+            img, CodecConfig(quality=q, coded_runs=True, dc_prediction=True)
+        ))
         rec = codec.decode(data)
         psnr = metrics.psnr(rec, img)
 
@@ -66,7 +69,8 @@ def main() -> int:
             cref = 10 * np.log10(255**2 / mse) if mse > 0 else float("inf")
 
         print(f"{q:>4} {len(data):>8} {img.size/len(data):>7.2f} "
-              f"{cr_bytes:>10} {psnr:>7.2f} {psnr_b1:>9.2f} {cref:>15.2f}")
+              f"{cr_bytes:>10} {best_bytes:>9} {psnr:>7.2f} {psnr_b1:>9.2f} "
+              f"{cref:>15.2f}")
         assert psnr >= psnr_b1 - 1e-9, "default path must beat bug-B1 path"
     return 0
 

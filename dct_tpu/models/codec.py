@@ -214,9 +214,6 @@ def _fused_kernel_ok(cfg: CodecConfig) -> bool:
         and cfg.block_size == 8
         and cfg.use_huffman
         and cfg.huffman_mode == "category"
-        # DC DPCM needs a cross-block cumsum the fused per-stripe kernel
-        # does not implement yet; route to the staged pipeline.
-        and not cfg.dc_prediction
     )
 
 

@@ -72,6 +72,7 @@ def _fused_kernel(
     len_ref, code_ref, rlen_ref, rcode_ref, px_ref, m_ref, b_ref, scale_ref,
     units_ref, bits_ref, scr_k, scr_d, scr_base,
     *, n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
+    dc_prediction: bool,
 ):
     """One grid cell = one stripe. See module docstring.
 
@@ -114,6 +115,18 @@ def _fused_kernel(
         )  # (R, 128)
         y = jnp.where(pos != 0, y * r, y)
     zz = _round_half_away_i32(y)
+
+    if dc_prediction:
+        # stripe-local DC DPCM (models/codec.py dc_predict): block b's DC
+        # becomes dc[b] - dc[b-1] in stripe-linear order (2*row + half).
+        # Lane 0 / lane 64 hold the row's two DCs: the right-half block's
+        # predecessor is the same row's lane-0 DC; the left-half block's is
+        # the PREVIOUS row's lane-64 DC (row 0 stays raw). Integer-exact,
+        # so the stream stays byte-identical to the staged pipeline.
+        dc0 = jnp.sum(jnp.where(lane == 0, zz, 0), axis=1, keepdims=True)
+        dc1 = jnp.sum(jnp.where(lane == 64, zz, 0), axis=1, keepdims=True)
+        prev0 = jnp.where(ridx1 >= 1, pltpu.roll(dc1, 1, axis=0), 0)
+        zz = zz - jnp.where(lane == 0, prev0, jnp.where(lane == 64, dc0, 0))
 
     # ---- 2. RLE (segmented scans) ----------------------------------------
     mask = (zz != 0) & live
@@ -310,6 +323,7 @@ def encode_stripes_fused(
         adaptive=cfg.adaptive,
         run_bits=8,
         coded_runs=cfg.coded_runs,
+        dc_prediction=cfg.dc_prediction,
     )
     units, bits = pl.pallas_call(
         kernel,

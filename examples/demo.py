@@ -56,13 +56,16 @@ def main() -> int:
         dct_tpu.CodecConfig(quality=90, adaptive=True),
         dct_tpu.CodecConfig(quality=50, static_tables=True),  # 1-dispatch
         dct_tpu.CodecConfig(quality=50, coded_runs=True),  # ~42% smaller
+        dct_tpu.CodecConfig(  # smallest files: coded runs + DC DPCM
+            quality=50, coded_runs=True, dc_prediction=True
+        ),
     ):
         d = dct_tpu.encode(gray, cfg)
         r = dct_tpu.decode(d)
         print(f"  q={cfg.quality:3d} adaptive={int(cfg.adaptive)} "
               f"static={int(cfg.static_tables)} coded_runs="
-              f"{int(cfg.coded_runs)}: {len(d):6d} B, "
-              f"PSNR {metrics.psnr(gray, r):5.2f} dB")
+              f"{int(cfg.coded_runs)} dc_pred={int(cfg.dc_prediction)}: "
+              f"{len(d):6d} B, PSNR {metrics.psnr(gray, r):5.2f} dB")
 
     # -- 3. recovery ----------------------------------------------------------
     cfg = dct_tpu.CodecConfig(quality=60, static_tables=True)

@@ -95,9 +95,14 @@ def test_flag_survives_wire_format(image):
     assert c.config.coded_runs
 
 
-def test_fused_kernel_gated_off():
+def test_fused_kernel_handles_dc_prediction():
+    # the fused Pallas kernel implements the DPCM in-kernel (byte-identity
+    # vs the staged pipeline is pinned in test_fused_encode.py)
     cfg = CodecConfig(use_pallas=True, dc_prediction=True)
-    assert not codec._fused_kernel_ok(cfg)
+    import jax
+
+    expected = jax.default_backend() == "tpu"
+    assert codec._fused_kernel_ok(cfg) == expected
 
 
 @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])

@@ -110,6 +110,40 @@ def test_fused_matches_staged(bps, adaptive, quality):
     np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
 
 
+@pytest.mark.parametrize("bps", [8, 9, 30])  # even + odd blocks per stripe
+@pytest.mark.parametrize("coded_runs", [False, True])
+def test_fused_dc_prediction_matches_staged(bps, coded_runs):
+    """In-kernel stripe-local DC DPCM (lane-select + one-row sublane roll)
+    must reproduce models/codec.dc_predict bit-for-bit."""
+    cfg = CodecConfig(
+        quality=50, static_tables=True, dc_prediction=True,
+        coded_runs=coded_runs,
+    )
+    n_stripes = 3
+    nb = n_stripes * bps
+    rng = np.random.default_rng(1000 + nb + coded_runs)
+    base = rng.integers(40, 216, (nb, 1)).astype(np.float64)
+    amp = (np.arange(nb) % 9).reshape(nb, 1) * 7.0
+    px = np.clip(base + rng.normal(0, 1, (nb, 64)) * amp, 0, 255)
+    pixels = jnp.asarray(px.astype(np.uint8))
+
+    lengths, codes = _table()
+    rl, rc = _run_table() if coded_runs else (None, None)
+
+    zz = transform.encode_blocks(pixels, cfg, adaptive_scale=None)
+    zz = codec.dc_predict(zz, n_stripes)
+    symbols = rle.rle_encode_positional(zz)
+    want = codec.encode_pack(symbols, cfg, n_stripes, lengths, codes, rl, rc)
+    got = encode_stripes_fused(
+        pixels, cfg, n_stripes, lengths, codes,
+        run_lengths=rl, run_codes=rc,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
+
+
 def test_fused_extreme_pixels():
     """All-extreme blocks drive max-magnitude coefficients (largest
     categories / longest windows) plus all-zero AC tails (terminal-zero
