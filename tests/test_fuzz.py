@@ -28,6 +28,7 @@ def _random_cfg(rng) -> CodecConfig:
         # static tables only exist for category mode
         static_tables=bool(rng.integers(0, 2)) and mode == "category",
         coded_runs=bool(rng.integers(0, 2)),
+        dc_prediction=bool(rng.integers(0, 2)),
         stripe_rows=int(rng.choice([1, 2, 3])),
     )
 
