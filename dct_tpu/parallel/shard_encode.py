@@ -209,7 +209,10 @@ def encode_plane_sharded(
         table_lengths=table.lengths if table is not None else None,
         vmin=_codec.DIRECT_VMIN,
         variance_codes=(
-            _host_full(var_codes)[: bh * bw] if cfg.adaptive else None
+            # bh_real, not bh: mesh-pad stripes exist only so the stripe
+            # count divides the device count — their variance codes must
+            # not leak into the container or bytes depend on the mesh
+            _host_full(var_codes)[: bh_real * bw] if cfg.adaptive else None
         ),
         stripe_bits=np.asarray(packed.bit_lengths, np.uint32)[:n_stripes],
         stripes=stripes,

@@ -57,6 +57,21 @@ class TestDeterminism:
         sharded = shard_encode.encode_image_sharded(photo, cfg, mesh)
         assert sharded == single
 
+    @pytest.mark.parametrize("adaptive", (False, True))
+    @pytest.mark.parametrize("static", (False, True))
+    def test_sharded_equals_single_nondivisible(self, adaptive, static):
+        """15 stripes over 2/4/8 devices (mesh padding in play): containers
+        must still match the single-device encoder byte for byte —
+        regression for pad-stripe variance codes leaking into the payload."""
+        img = image_io.synthetic_image(120, 96, "photo", seed=3)
+        cfg = CodecConfig(quality=50, adaptive=adaptive, static_tables=static)
+        single = codec.encode(img, cfg)
+        for n in (2, 4, 8):
+            mesh = meshlib.make_mesh(
+                n_data=1, n_stripe=n, devices=jax.devices()[:n]
+            )
+            assert shard_encode.encode_image_sharded(img, cfg, mesh) == single
+
     def test_mesh_shapes_agree(self, photo):
         """2-way vs 4-way vs 8-way stripe sharding: identical bytes."""
         cfg = CodecConfig(quality=75)
