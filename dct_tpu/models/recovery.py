@@ -22,8 +22,11 @@ property into user-facing operations:
                         — random access: decode only the stripes that
                           overlap a row range (seek/parallel consumers).
 
-Grayscale (single-plane) containers; color planes carry subsampled chroma
-whose source-pixel mapping lives in models/color.py.
+Color containers are covered plane-wise: every plane's stripes are
+independent substreams, so verify/repair address them as (plane, stripe)
+pairs and repair reproduces the per-plane encode (Y against the luma quant
+table, Cb/Cr against the chrominance table on the subsampled grid) exactly.
+Grayscale containers keep the original flat stripe-index API.
 """
 
 from __future__ import annotations
@@ -40,12 +43,8 @@ from dct_tpu.ops import huffman as hf
 from dct_tpu.ops import quant, rle, transform
 
 
-def _require_gray(c: cont.Container) -> cont.PlaneData:
-    if c.config.chroma != "gray":
-        raise NotImplementedError(
-            "recovery operations support grayscale containers"
-        )
-    return c.planes[0]
+def _is_gray(c: cont.Container) -> bool:
+    return c.config.chroma == "gray"
 
 
 def _geometry(p: cont.PlaneData, cfg: CodecConfig):
@@ -63,18 +62,7 @@ def _table(p: cont.PlaneData, cfg: CodecConfig):
     return mode, t, run_t
 
 
-def verify(data: bytes) -> list[int]:
-    """Scan a container; return the indices of corrupt stripes.
-
-    A stripe is corrupt if its entropy decode raises (invalid Huffman
-    code, buffer overrun) or consumes a bit count different from the one
-    the container records — the position-invariant decoder consumes an
-    exact, content-determined number of bits, so byte damage almost
-    surely desynchronizes it.
-    """
-    c = cont.deserialize(data)
-    p = _require_gray(c)
-    cfg = c.config
+def _verify_plane(p: cont.PlaneData, cfg: CodecConfig) -> list[int]:
     _, _, n_stripes, bps = _geometry(p, cfg)
     mode, table, run_table = _table(p, cfg)
     bad = []
@@ -91,6 +79,29 @@ def verify(data: bytes) -> list[int]:
         except (ValueError, IndexError):
             bad.append(s)
     return bad
+
+
+def verify(data: bytes) -> list:
+    """Scan a container; return the corrupt stripes.
+
+    A stripe is corrupt if its entropy decode raises (invalid Huffman
+    code, buffer overrun) or consumes a bit count different from the one
+    the container records — the position-invariant decoder consumes an
+    exact, content-determined number of bits, so byte damage almost
+    surely desynchronizes it.
+
+    Grayscale containers return flat stripe indices (list[int]); color
+    containers return (plane_index, stripe_index) tuples.
+    """
+    c = cont.deserialize(data)
+    cfg = c.config
+    if _is_gray(c):
+        return _verify_plane(c.planes[0], cfg)
+    return [
+        (pi, s)
+        for pi, p in enumerate(c.planes)
+        for s in _verify_plane(p, cfg)
+    ]
 
 
 def _padded_plane(image: np.ndarray, cfg: CodecConfig) -> jnp.ndarray:
@@ -113,6 +124,7 @@ def _encode_one_stripe(
     cfg: CodecConfig,
     table: hf.CanonicalTable | None,
     run_table: hf.CanonicalTable | None = None,
+    chroma: bool = False,
 ):
     """Encode one stripe's pixel rows against FIXED tables (the
     container's — never rebuilt from the stripe's own histograms, or a
@@ -124,7 +136,7 @@ def _encode_one_stripe(
         var = quant.block_variance(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
-    zz = codec._fused_encode(pixels, cfg, scale, False)
+    zz = codec._fused_encode(pixels, cfg, scale, chroma)
     if cfg.dc_prediction:
         zz = codec.dc_predict(zz, 1)
     symbols = rle.rle_encode_positional(zz)
@@ -139,28 +151,21 @@ def _encode_one_stripe(
     return packed, var_codes
 
 
-def repair(
-    data: bytes, source: np.ndarray, stripes: list[int] | None = None
-) -> bytes:
-    """Re-encode the given (default: auto-detected corrupt) stripes of a
-    container from the source image and return the repaired container.
-
-    Byte-identical to a from-scratch encode of the source under the
-    container's config (per-stripe substream independence)."""
-    c = cont.deserialize(data)
-    p = _require_gray(c)
-    cfg = c.config
-    if source.shape != (p.height, p.width):
+def _repair_plane(
+    p: cont.PlaneData,
+    cfg: CodecConfig,
+    source_plane: np.ndarray,
+    stripes: list[int],
+    chroma: bool,
+) -> cont.PlaneData:
+    if source_plane.shape != (p.height, p.width):
         raise ValueError(
-            f"source {source.shape} != container plane {(p.height, p.width)}"
+            f"source {source_plane.shape} != container plane "
+            f"{(p.height, p.width)}"
         )
-    if stripes is None:
-        stripes = verify(data)
-    if not stripes:
-        return data
     _, bw, n_stripes, bps = _geometry(p, cfg)
     _, table, run_table = _table(p, cfg)
-    img = _padded_plane(source, cfg)
+    img = _padded_plane(source_plane, cfg)
     n = cfg.block_size
     rows_per_stripe = cfg.stripe_rows * n
 
@@ -173,13 +178,13 @@ def repair(
         if not 0 <= s < n_stripes:
             raise ValueError(f"stripe {s} out of range (n_stripes={n_stripes})")
         rows = img[s * rows_per_stripe : (s + 1) * rows_per_stripe]
-        packed, vc = _encode_one_stripe(rows, cfg, table, run_table)
+        packed, vc = _encode_one_stripe(rows, cfg, table, run_table, chroma)
         new_stripes[s] = bs.stripes_to_bytes(packed)[0]
         stripe_bits[s] = int(packed.bit_lengths[0])
         if cfg.adaptive:
             var_codes[s * bps : (s + 1) * bps] = np.asarray(vc, np.uint8)
 
-    p2 = cont.PlaneData(
+    return cont.PlaneData(
         width=p.width,
         height=p.height,
         table_lengths=p.table_lengths,
@@ -189,17 +194,105 @@ def repair(
         stripes=new_stripes,
         run_table_lengths=p.run_table_lengths,
     )
+
+
+def _source_planes(c: cont.Container, source: np.ndarray) -> list[np.ndarray]:
+    """Reproduce the encoder's source->plane mapping (models/color.py
+    _to_planes for color; identity for grayscale)."""
+    if _is_gray(c):
+        if source.ndim != 2:
+            raise ValueError(f"expected (H, W) source, got {source.shape}")
+        return [np.asarray(source, np.uint8)]
+    if source.ndim != 3 or source.shape[-1] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB source, got {source.shape}")
+    from dct_tpu.models import color as _color
+
+    y, cb, cr = _color._to_planes(
+        jnp.asarray(source, jnp.uint8), c.config.chroma
+    )
+    return [np.asarray(y), np.asarray(cb), np.asarray(cr)]
+
+
+def repair(
+    data: bytes, source: np.ndarray, stripes: list | None = None
+) -> bytes:
+    """Re-encode the given (default: auto-detected corrupt) stripes of a
+    container from the source image and return the repaired container.
+
+    Byte-identical to a from-scratch encode of the source under the
+    container's config (per-stripe substream independence). Grayscale
+    containers address stripes by flat index; color containers by
+    (plane_index, stripe_index) pairs — both as verify() reports them."""
+    c = cont.deserialize(data)
+    cfg = c.config
+    if stripes is None:
+        stripes = verify(data)
+    if not stripes:
+        return data
+    planes_src = _source_planes(c, source)
+    if _is_gray(c):
+        per_plane = {0: list(stripes)}
+    else:
+        per_plane = {}
+        for pi, s in stripes:
+            per_plane.setdefault(pi, []).append(s)
+        if any(not 0 <= pi < len(c.planes) for pi in per_plane):
+            raise ValueError(f"plane index out of range in {sorted(per_plane)}")
+    new_planes = [
+        _repair_plane(p, cfg, planes_src[pi], per_plane[pi], chroma=pi > 0)
+        if pi in per_plane
+        else p
+        for pi, p in enumerate(c.planes)
+    ]
     return cont.serialize(
-        cont.Container(config=cfg, width=c.width, height=c.height, planes=[p2])
+        cont.Container(
+            config=cfg, width=c.width, height=c.height, planes=new_planes
+        )
     )
 
 
 def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
     """Decode only pixel rows [row0, row1) — entropy-decodes just the
-    stripes overlapping the range (random access / parallel consumers)."""
+    stripes overlapping the range (random access / parallel consumers).
+
+    Color containers return (rows, W, 3) RGB: the luma rows plus the
+    chroma rows covering them (half-rate for 4:2:0) are decoded and
+    recombined exactly as the full decoder would."""
     c = cont.deserialize(data)
-    p = _require_gray(c)
     cfg = c.config
+    if not 0 <= row0 < row1 <= c.height:
+        raise ValueError(f"bad row range [{row0}, {row1}) for height {c.height}")
+    if _is_gray(c):
+        return _decode_plane_region(c.planes[0], cfg, row0, row1, False)
+
+    from dct_tpu.models import color as _color
+
+    y = _decode_plane_region(c.planes[0], cfg, row0, row1, False)
+    if cfg.chroma == "444":
+        cb = _decode_plane_region(c.planes[1], cfg, row0, row1, True)
+        cr = _decode_plane_region(c.planes[2], cfg, row0, row1, True)
+    else:  # 420: pixel row r draws from chroma row r//2 (nearest-neighbor)
+        ch = c.planes[1].height
+        c0, c1 = row0 // 2, min(-(-row1 // 2), ch)
+        cbs = _decode_plane_region(c.planes[1], cfg, c0, c1, True)
+        crs = _decode_plane_region(c.planes[2], cfg, c0, c1, True)
+
+        def up(x):
+            x = np.repeat(np.repeat(x, 2, axis=0), 2, axis=1)
+            return x[row0 - 2 * c0 : row1 - 2 * c0, : c.width]
+
+        cb, cr = up(cbs), up(crs)
+    ycc = jnp.stack([
+        jnp.asarray(y, jnp.float32),
+        jnp.asarray(cb, jnp.float32),
+        jnp.asarray(cr, jnp.float32),
+    ], axis=-1)
+    return np.asarray(_color.ycbcr_to_rgb(ycc))
+
+
+def _decode_plane_region(
+    p: cont.PlaneData, cfg: CodecConfig, row0: int, row1: int, chroma: bool
+) -> np.ndarray:
     if not 0 <= row0 < row1 <= p.height:
         raise ValueError(f"bad row range [{row0}, {row1}) for height {p.height}")
     _, bw, n_stripes, bps = _geometry(p, cfg)
@@ -229,7 +322,7 @@ def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
     if cfg.adaptive:
         codes = jnp.asarray(p.variance_codes[s0 * bps : s1 * bps])
         scale = quant.scale_from_variance_code(codes)
-    pixels = codec._fused_decode(jnp.asarray(zz), cfg, scale, False)
+    pixels = codec._fused_decode(jnp.asarray(zz), cfg, scale, chroma)
     img = blk.blocks_to_image(
         pixels, (s1 - s0) * rows_per_stripe, bw * n, n
     )

@@ -2,10 +2,14 @@
 one device dispatch per stage (BASELINE.json config 2: 256 x 1080p batch).
 
 All-intra: every frame is coded independently (the reference pipeline has no
-temporal tools), but the batch shares ONE Huffman table derived from the
-batch-global histogram — the multi-frame analog of the per-image table, and
-the same psum-reduction shape the sharded encoder uses across stripes. Per
-frame containers stay individually decodable.
+temporal tools), but the batch shares ONE Huffman table per plane type
+derived from the batch-global histogram — the multi-frame analog of the
+per-image table, and the same psum-reduction shape the sharded encoder uses
+across stripes. Per-frame containers stay individually decodable.
+
+Color stacks ((F, H, W, 3) RGB with cfg.chroma '444'/'420') encode as three
+plane batches (Y, Cb, Cr) with the chrominance quant table on Cb/Cr,
+mirroring models/color.ColorImageCodec per frame.
 """
 
 from __future__ import annotations
@@ -41,107 +45,182 @@ def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes,
     )(symbols)
 
 
+def _encode_plane_batch(
+    planes: jax.Array, cfg: CodecConfig, chroma: bool = False
+) -> list[cont.PlaneData]:
+    """(F, h, w) u8 plane stack -> one PlaneData per frame.
+
+    One batched device dispatch per stage; a single Huffman table (and run
+    table) per plane TYPE shared across the batch."""
+    f, h, w = (int(x) for x in planes.shape)
+    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+    n = cfg.block_size
+
+    from dct_tpu.ops import blocks as blk
+
+    imgs = blk.pad_to_blocks(jnp.asarray(planes, jnp.uint8), n)
+    ph, pw = bh * n, bw * n
+    imgs = jnp.pad(
+        imgs,
+        ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
+        mode="edge",
+    )
+
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
+        packed, var_codes = jax.vmap(
+            lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
+        )(imgs)
+    else:
+        symbols, var_codes, hist, run_hist = _analyze_batch(
+            imgs, cfg, chroma=chroma
+        )
+        table = _codec._build_table(cfg, np.asarray(hist))
+        run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
+        lengths, codes = _codec._table_arrays(table)
+        if cfg.coded_runs:
+            run_lengths, run_codes = _codec._table_arrays(run_table)
+        else:
+            run_lengths = run_codes = None
+        packed = _pack_batch(
+            symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        )
+
+    units = np.asarray(packed.units)
+    bits = np.asarray(packed.bit_lengths)
+    var_np = np.asarray(var_codes) if cfg.adaptive else None
+
+    out = []
+    for i in range(f):
+        stripes = bs.stripes_to_bytes(bs.PackedStripes(units[i], bits[i]))
+        out.append(cont.PlaneData(
+            width=w,
+            height=h,
+            table_lengths=table.lengths if table is not None else None,
+            vmin=_codec.DIRECT_VMIN,
+            variance_codes=var_np[i] if cfg.adaptive else None,
+            stripe_bits=bits[i].astype(np.uint32),
+            stripes=stripes,
+            run_table_lengths=(
+                run_table.lengths if run_table is not None else None
+            ),
+        ))
+    return out
+
+
 class VideoCodec:
-    """Encode (F, H, W) u8 frame stacks; returns a list of per-frame
-    containers (each independently decodable with models.codec.decode)."""
+    """Encode (F, H, W) grayscale or (F, H, W, 3) RGB u8 frame stacks;
+    returns a list of per-frame containers (each independently decodable
+    with models.codec.decode)."""
 
     def __init__(self, config: CodecConfig | None = None):
         self.config = config or CodecConfig()
-        if self.config.chroma != "gray":
-            raise ValueError("VideoCodec currently encodes grayscale stacks")
 
     def encode(self, frames: np.ndarray) -> list[bytes]:
-        if frames.ndim != 3:
-            raise ValueError(f"expected (F, H, W), got {frames.shape}")
         cfg = self.config
-        f, h, w = (int(x) for x in frames.shape)
-        bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
-        n = cfg.block_size
-
-        from dct_tpu.ops import blocks as blk
-
-        imgs = blk.pad_to_blocks(jnp.asarray(frames, jnp.uint8), n)
-        ph, pw = bh * n, bw * n
-        imgs = jnp.pad(
-            imgs,
-            ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
-            mode="edge",
-        )
-
-        if cfg.static_tables:
-            table = _codec._build_table(cfg, None)
-            run_table = _codec._build_run_table(cfg, None)
-            packed, var_codes = jax.vmap(
-                lambda im: _codec.encode_step(im, cfg, n_stripes)
-            )(imgs)
+        if cfg.chroma == "gray":
+            if frames.ndim != 3:
+                raise ValueError(f"expected (F, H, W), got {frames.shape}")
+            f, h, w = (int(x) for x in frames.shape)
+            per_frame = [
+                [p] for p in _encode_plane_batch(jnp.asarray(frames), cfg)
+            ]
         else:
-            symbols, var_codes, hist, run_hist = _analyze_batch(imgs, cfg)
-            table = _codec._build_table(cfg, np.asarray(hist))
-            run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
-            lengths, codes = _codec._table_arrays(table)
-            if cfg.coded_runs:
-                run_lengths, run_codes = _codec._table_arrays(run_table)
-            else:
-                run_lengths = run_codes = None
-            packed = _pack_batch(
-                symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
-            )
-
-        units = np.asarray(packed.units)
-        bits = np.asarray(packed.bit_lengths)
-        var_np = np.asarray(var_codes) if cfg.adaptive else None
-
-        out = []
-        for i in range(f):
-            stripes = bs.stripes_to_bytes(
-                bs.PackedStripes(units[i], bits[i])
-            )
-            plane = cont.PlaneData(
-                width=w,
-                height=h,
-                table_lengths=table.lengths if table is not None else None,
-                vmin=_codec.DIRECT_VMIN,
-                variance_codes=var_np[i] if cfg.adaptive else None,
-                stripe_bits=bits[i].astype(np.uint32),
-                stripes=stripes,
-                run_table_lengths=(
-                    run_table.lengths if run_table is not None else None
-                ),
-            )
-            out.append(
-                cont.serialize(
-                    cont.Container(config=cfg, width=w, height=h, planes=[plane])
+            if frames.ndim != 4 or frames.shape[-1] != 3:
+                raise ValueError(
+                    f"expected (F, H, W, 3) RGB for chroma={cfg.chroma}, "
+                    f"got {frames.shape}"
                 )
+            from dct_tpu.models import color as _color
+
+            f, h, w = (int(x) for x in frames.shape[:3])
+            y, cb, cr = jax.vmap(
+                lambda im: _color._to_planes(im, cfg.chroma)
+            )(jnp.asarray(frames, jnp.uint8))
+            ys = _encode_plane_batch(y, cfg, chroma=False)
+            cbs = _encode_plane_batch(cb, cfg, chroma=True)
+            crs = _encode_plane_batch(cr, cfg, chroma=True)
+            per_frame = [[ys[i], cbs[i], crs[i]] for i in range(f)]
+
+        return [
+            cont.serialize(
+                cont.Container(config=cfg, width=w, height=h, planes=planes)
             )
-        return out
+            for planes in per_frame
+        ]
 
     def decode(self, streams: list[bytes]) -> np.ndarray:
         return np.asarray(self.decode_to_device(streams))
 
     def decode_to_device(self, streams: list[bytes]) -> jax.Array:
         """Batched device decode: entropy-decode every frame on the host
-        (C++ thread pool), then ONE vmapped dequant+IDCT dispatch for the
-        whole stack, leaving (F, H, W) u8 on device — the data-loading
-        path for on-chip consumers (decoded frames feeding a model)."""
+        (C++ thread pool), then ONE vmapped dequant+IDCT dispatch per plane
+        type for the whole stack, leaving u8 frames on device — the
+        data-loading path for on-chip consumers (decoded frames feeding a
+        model)."""
+        conts = [cont.deserialize(s) for s in streams]
+        c0 = conts[0]
+        cfg = c0.config
+
+        def _key(c):
+            # batched decode shares one entropy table per plane type, so
+            # per-frame tables (e.g. per-image dynamic tables from
+            # ImageCodec) must ALL match, not just frame dimensions
+            return (c.config,) + tuple(
+                (
+                    p.height, p.width,
+                    None if p.table_lengths is None
+                    else p.table_lengths.tobytes(),
+                    None if p.run_table_lengths is None
+                    else p.run_table_lengths.tobytes(),
+                )
+                for p in c.planes
+            )
+
+        k0 = _key(c0)
+        if any(_key(c) != k0 for c in conts[1:]):
+            # mixed batch: fall back to per-frame decode
+            return jnp.stack([jnp.asarray(_codec.decode(s)) for s in streams])
+        if cfg.chroma == "gray":
+            return self._decode_plane_batch(conts, cfg, 0, chroma=False)
+
+        from dct_tpu.models import color as _color
+
+        y = self._decode_plane_batch(conts, cfg, 0, chroma=False)
+        cb = self._decode_plane_batch(conts, cfg, 1, chroma=True)
+        cr = self._decode_plane_batch(conts, cfg, 2, chroma=True)
+        h, w = c0.height, c0.width
+
+        @jax.jit
+        def recombine(yy, b, r):
+            def one(yi, bi, ri):
+                bi = bi.astype(jnp.float32)
+                ri = ri.astype(jnp.float32)
+                if cfg.chroma == "420":
+                    bi = _color.upsample_420(bi, h, w)
+                    ri = _color.upsample_420(ri, h, w)
+                ycc = jnp.stack([yi.astype(jnp.float32), bi, ri], axis=-1)
+                return _color.ycbcr_to_rgb(ycc)
+
+            return jax.vmap(one)(yy, b, r)
+
+        return recombine(y, cb, cr)
+
+    @staticmethod
+    def _decode_plane_batch(
+        conts: list[cont.Container], cfg: CodecConfig, plane_idx: int,
+        chroma: bool,
+    ) -> jax.Array:
+        """Entropy-decode plane `plane_idx` of every container on the host,
+        then one vmapped dequant+IDCT dispatch for the whole stack."""
         from dct_tpu.ops import blocks as blk
         from dct_tpu.ops import quant
         from dct_tpu.models.codec import (
             _decode_stripes, _fused_decode, _padded_grid,
         )
-        from dct_tpu.ops import huffman as hf
 
-        conts = [cont.deserialize(s) for s in streams]
-        c0 = conts[0]
-        cfg = c0.config
-        p0 = c0.planes[0]
-        for c in conts[1:]:
-            if (c.config, c.planes[0].height, c.planes[0].width) != (
-                cfg, p0.height, p0.width
-            ):
-                # mixed batch: fall back to per-frame decode
-                return jnp.stack(
-                    [jnp.asarray(_codec.decode(s)) for s in streams]
-                )
+        p0 = conts[0].planes[plane_idx]
         n = cfg.block_size
         bh, bw, n_stripes = _padded_grid(p0.height, p0.width, cfg)
         bps = (bh // n_stripes) * bw
@@ -153,7 +232,8 @@ class VideoCodec:
 
         zz = np.stack([
             _decode_stripes(
-                c.planes[0], cfg, table, mode, n_stripes, bps, run_table
+                c.planes[plane_idx], cfg, table, mode, n_stripes, bps,
+                run_table,
             )
             for c in conts
         ])  # (F, NB, n2)
@@ -161,13 +241,13 @@ class VideoCodec:
             zz = np.stack([_codec.dc_reconstruct(z, n_stripes) for z in zz])
         scale = None
         if cfg.adaptive:
-            codes = jnp.asarray(
-                np.stack([np.asarray(c.planes[0].variance_codes) for c in conts])
-            )
+            codes = jnp.asarray(np.stack(
+                [np.asarray(c.planes[plane_idx].variance_codes) for c in conts]
+            ))
             scale = quant.scale_from_variance_code(codes)  # (F, NB)
 
         def one(z, s):
-            px = _fused_decode(z, cfg, s, False)
+            px = _fused_decode(z, cfg, s, chroma)
             return blk.blocks_to_image(px, bh * n, bw * n, n)
 
         if cfg.adaptive:

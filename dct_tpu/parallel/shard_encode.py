@@ -127,10 +127,11 @@ def global_run_histogram(
 
 
 def encode_plane_sharded(
-    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool = False
 ) -> cont.PlaneData:
     """Stripe-sharded single-plane encode producing a container plane that
-    is byte-identical to the single-device encoder's."""
+    is byte-identical to the single-device encoder's. chroma selects the
+    chrominance quant table (color containers' Cb/Cr planes)."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
     n = cfg.block_size
     bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
@@ -158,9 +159,11 @@ def encode_plane_sharded(
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
         run_table = _codec._build_run_table(cfg, None)
-        packed, var_codes = _encode_step_sharded(img, cfg, n_stripes_p, mesh)
+        packed, var_codes = _encode_step_sharded(
+            img, cfg, n_stripes_p, mesh, chroma
+        )
     else:
-        symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg)
+        symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg, chroma=chroma)
         from dct_tpu.ops.rle import RLEPositional
 
         if isinstance(symbols, RLEPositional):
@@ -231,10 +234,12 @@ def _hist_fallback(symbols, cfg):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_stripes", "mesh")
+    jax.jit, static_argnames=("cfg", "n_stripes", "mesh", "chroma")
 )
-def _encode_step_sharded(img, cfg: CodecConfig, n_stripes: int, mesh: Mesh):
-    packed, var_codes = _codec.encode_step(img, cfg, n_stripes)
+def _encode_step_sharded(
+    img, cfg: CodecConfig, n_stripes: int, mesh: Mesh, chroma: bool = False
+):
+    packed, var_codes = _codec.encode_step(img, cfg, n_stripes, chroma)
     out_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
     packed = bs.PackedStripes(
         units=jax.lax.with_sharding_constraint(packed.units, out_sharding),
@@ -248,37 +253,52 @@ def _encode_step_sharded(img, cfg: CodecConfig, n_stripes: int, mesh: Mesh):
 def encode_image_sharded(
     image: np.ndarray, cfg: CodecConfig, mesh: Mesh
 ) -> bytes:
-    """Full sharded grayscale encode -> container bytes (mesh-invariant)."""
-    plane = encode_plane_sharded(image, cfg, mesh)
+    """Full sharded encode -> container bytes (mesh-invariant).
+
+    Grayscale (2D input, cfg.chroma == 'gray') or color (3D RGB input,
+    cfg.chroma '444'/'420'): color containers carry three planes, each
+    stripe-sharded independently, byte-identical to ColorImageCodec."""
+    if cfg.chroma == "gray":
+        plane = encode_plane_sharded(image, cfg, mesh)
+        planes = [plane]
+    else:
+        from dct_tpu.models import color as _color
+
+        if image.ndim != 3 or image.shape[-1] != 3:
+            raise ValueError(f"expected (H, W, 3) RGB, got {image.shape}")
+        y, cb, cr = _color._to_planes(
+            jnp.asarray(image, jnp.uint8), cfg.chroma
+        )
+        planes = [
+            encode_plane_sharded(np.asarray(y), cfg, mesh, chroma=False),
+            encode_plane_sharded(np.asarray(cb), cfg, mesh, chroma=True),
+            encode_plane_sharded(np.asarray(cr), cfg, mesh, chroma=True),
+        ]
     c = cont.Container(
         config=cfg,
         width=int(image.shape[1]),
         height=int(image.shape[0]),
-        planes=[plane],
+        planes=planes,
     )
     return cont.serialize(c)
 
 
-def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
-    """Sharded grayscale decode: container bytes -> u8 plane on the mesh.
+def _decode_plane_sharded(
+    p: cont.PlaneData, cfg: CodecConfig, mesh: Mesh, chroma: bool = False
+) -> jax.Array:
+    """One container plane -> u8 pixel plane on the mesh (row-sharded).
 
-    The mirror of encode_image_sharded. Entropy decode runs on the host
-    (per-stripe, C++ thread pool); the coefficient grid is placed with
-    stripes over the mesh's stripe axis and ONE sharded dequant+IDCT
-    dispatch reconstructs pixel rows in place — no cross-device traffic at
-    all (8x8 blocks share no pixels, SURVEY.md section 5.7). Returns the
-    device array, row-sharded; np.asarray() it to land on host."""
+    Entropy decode runs on the host (per-stripe, C++ thread pool); the
+    coefficient grid is placed with stripes over the mesh's stripe axis and
+    ONE sharded dequant+IDCT dispatch reconstructs pixel rows in place — no
+    cross-device traffic at all (8x8 blocks share no pixels, SURVEY.md
+    section 5.7)."""
     from dct_tpu.models.codec import (
         _decode_stripes, _fused_decode, _padded_grid,
     )
     from dct_tpu.ops import blocks as blk
     from dct_tpu.ops import quant
 
-    c = cont.deserialize(data)
-    if c.config.chroma != "gray":
-        raise NotImplementedError("sharded decode supports grayscale containers")
-    cfg = c.config
-    p = c.planes[0]
     n = cfg.block_size
     bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
     bps = (bh // n_stripes) * bw
@@ -311,13 +331,46 @@ def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
 
     @functools.partial(jax.jit, static_argnames=())
     def step(z, s):
-        px = _fused_decode(z, cfg, s, False)
+        px = _fused_decode(z, cfg, s, chroma)
         px = jax.lax.with_sharding_constraint(px, block_sharding)
         img = blk.blocks_to_image(px, (bh + pad // bw) * n, bw * n, n)
         return img
 
     img = step(zz_dev, scale)
     return img[: p.height, : p.width]
+
+
+def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
+    """Sharded decode: container bytes -> u8 pixels on the mesh.
+
+    The mirror of encode_image_sharded. Grayscale containers return a
+    row-sharded (H, W) plane; color containers decode each plane sharded,
+    then upsample + YCbCr->RGB in one jitted dispatch (XLA inserts any
+    resharding the differently-sized chroma grids need). np.asarray() the
+    result to land on host."""
+    c = cont.deserialize(data)
+    cfg = c.config
+    if cfg.chroma == "gray":
+        return _decode_plane_sharded(c.planes[0], cfg, mesh)
+
+    from dct_tpu.models import color as _color
+
+    y = _decode_plane_sharded(c.planes[0], cfg, mesh, chroma=False)
+    cb = _decode_plane_sharded(c.planes[1], cfg, mesh, chroma=True)
+    cr = _decode_plane_sharded(c.planes[2], cfg, mesh, chroma=True)
+    h, w = c.height, c.width
+
+    @jax.jit
+    def recombine(yy, b, r):
+        b = b.astype(jnp.float32)
+        r = r.astype(jnp.float32)
+        if cfg.chroma == "420":
+            b = _color.upsample_420(b, h, w)
+            r = _color.upsample_420(r, h, w)
+        ycc = jnp.stack([yy.astype(jnp.float32), b, r], axis=-1)
+        return _color.ycbcr_to_rgb(ycc)
+
+    return recombine(y, cb, cr)
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,40 @@ class TestShardedDecode:
         np.testing.assert_array_equal(got, want)
 
 
+class TestShardedColor:
+    @pytest.mark.parametrize("chroma", ["444", "420"])
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_color_sharded_equals_single(self, chroma, n_dev):
+        """Color containers: per-plane stripe sharding must be byte-
+        identical to ColorImageCodec (includes mesh padding: the 420
+        chroma grids have ~half the stripes of the luma grid)."""
+        from dct_tpu.models.color import ColorImageCodec
+        from dct_tpu.utils import image_io
+
+        g = image_io.synthetic_image(104, 88, "photo", seed=11)
+        rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+        cfg = CodecConfig(quality=60, adaptive=True, chroma=chroma)
+        single = ColorImageCodec(cfg).encode(rgb)
+        mesh = meshlib.make_mesh(
+            n_data=1, n_stripe=n_dev, devices=jax.devices()[:n_dev]
+        )
+        assert shard_encode.encode_image_sharded(rgb, cfg, mesh) == single
+
+    @pytest.mark.parametrize("chroma", ["444", "420"])
+    def test_color_sharded_decode_matches_single(self, chroma):
+        from dct_tpu.models.color import ColorImageCodec
+        from dct_tpu.utils import image_io
+
+        g = image_io.synthetic_image(104, 88, "photo", seed=12)
+        rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+        cfg = CodecConfig(quality=60, chroma=chroma, coded_runs=True)
+        data = ColorImageCodec(cfg).encode(rgb)
+        want = ColorImageCodec(cfg).decode(data)
+        mesh = meshlib.make_mesh(n_data=1, n_stripe=4, devices=jax.devices()[:4])
+        got = np.asarray(shard_encode.decode_image_sharded(data, mesh))
+        np.testing.assert_array_equal(got, want)
+
+
 class TestShardedCodedRuns:
     @pytest.mark.parametrize("n_dev", [1, 4])
     @pytest.mark.parametrize("static", [True, False])

@@ -108,3 +108,83 @@ def test_decode_region_bad_range(image):
         recovery.decode_region(data, 50, 10)
     with pytest.raises(ValueError):
         recovery.decode_region(data, 0, 10_000)
+
+
+# ---------------------------------------------------------------------------
+# Color containers: plane-wise recovery ((plane, stripe) addressing)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rgb(image):
+    return np.stack([image, np.roll(image, 3, 0), np.roll(image, 5, 1)], -1)
+
+
+def _corrupt_plane_stripe(data: bytes, plane: int, stripe: int) -> bytes:
+    """Deterministically flip bytes inside one plane's stripe payload."""
+    from dct_tpu import container as cont
+
+    c = cont.deserialize(data)
+    p = c.planes[plane]
+    s = bytearray(p.stripes[stripe])
+    assert len(s) > 2
+    for i in range(min(8, len(s))):
+        s[i] ^= 0xA5
+    p.stripes[stripe] = bytes(s)
+    return cont.serialize(c)
+
+
+@pytest.mark.parametrize("chroma", ["444", "420"])
+@pytest.mark.parametrize("coded_runs", [False, True])
+def test_color_verify_and_repair(rgb, chroma, coded_runs):
+    from dct_tpu.models.color import ColorImageCodec
+
+    cfg = CodecConfig(
+        quality=55, chroma=chroma, coded_runs=coded_runs, stripe_rows=2
+    )
+    original = ColorImageCodec(cfg).encode(rgb)
+    assert recovery.verify(original) == []
+
+    bad = _corrupt_plane_stripe(original, plane=1, stripe=2)
+    bad = _corrupt_plane_stripe(bad, plane=0, stripe=0)
+    damaged = recovery.verify(bad)
+    assert (1, 2) in damaged and (0, 0) in damaged
+
+    repaired = recovery.repair(bad, rgb)
+    assert repaired == original  # byte-identical to from-scratch encode
+    assert recovery.verify(repaired) == []
+
+
+def test_color_repair_adaptive_dc(rgb):
+    from dct_tpu.models.color import ColorImageCodec
+
+    cfg = CodecConfig(
+        quality=60, chroma="420", adaptive=True, dc_prediction=True
+    )
+    original = ColorImageCodec(cfg).encode(rgb)
+    bad = _corrupt_plane_stripe(original, plane=2, stripe=1)
+    assert recovery.repair(bad, rgb) == original
+
+
+def test_color_repair_rejects_wrong_source(rgb):
+    from dct_tpu.models.color import ColorImageCodec
+
+    cfg = CodecConfig(quality=50, chroma="444")
+    data = ColorImageCodec(cfg).encode(rgb)
+    with pytest.raises(ValueError):
+        recovery.repair(data, rgb[:, :, 0], stripes=[(0, 0)])  # not RGB
+    with pytest.raises(ValueError):
+        recovery.repair(data, rgb[:-8], stripes=[(0, 0)])  # wrong dims
+
+
+@pytest.mark.parametrize("chroma", ["444", "420"])
+def test_color_decode_region_matches_full(rgb, chroma):
+    from dct_tpu.models.color import ColorImageCodec
+
+    cfg = CodecConfig(quality=60, chroma=chroma, stripe_rows=2)
+    data = ColorImageCodec(cfg).encode(rgb)
+    full = ColorImageCodec(cfg).decode(data)
+    # odd bounds exercise the half-rate chroma row mapping for 4:2:0
+    for row0, row1 in [(0, 16), (13, 57), (101, 119), (0, rgb.shape[0])]:
+        region = recovery.decode_region(data, row0, row1)
+        np.testing.assert_array_equal(region, full[row0:row1])

@@ -48,6 +48,61 @@ class TestVideoCodec:
         assert metrics.psnr(rec, frames) >= 28
 
 
+class TestColorVideo:
+    @pytest.fixture(scope="class")
+    def rgb_frames(self):
+        g = [image_io.synthetic_image(48, 64, "photo", seed=s) for s in range(4)]
+        return np.stack(
+            [np.stack([f, np.roll(f, 3, 0), np.roll(f, 5, 1)], -1) for f in g]
+        )
+
+    @pytest.mark.parametrize("chroma", ["444", "420"])
+    def test_color_roundtrip(self, rgb_frames, chroma):
+        vc = VideoCodec(CodecConfig(quality=70, chroma=chroma))
+        streams = vc.encode(rgb_frames)
+        assert len(streams) == 4
+        rec = vc.decode(streams)
+        assert rec.shape == rgb_frames.shape
+        assert metrics.psnr(rec, rgb_frames) >= 28
+
+    def test_color_static_matches_single(self, rgb_frames):
+        """Static tables: batch color streams byte-identical to per-frame
+        ColorImageCodec encodes."""
+        from dct_tpu.models.color import ColorImageCodec
+
+        cfg = CodecConfig(quality=50, static_tables=True, chroma="420")
+        streams = VideoCodec(cfg).encode(rgb_frames)
+        for f in range(4):
+            assert streams[f] == ColorImageCodec(cfg).encode(rgb_frames[f])
+
+    def test_color_frames_decode_individually(self, rgb_frames):
+        vc = VideoCodec(CodecConfig(quality=60, chroma="444", adaptive=True))
+        streams = vc.encode(rgb_frames)
+        one = codec.decode(streams[1])
+        assert metrics.psnr(one, rgb_frames[1]) >= 28
+
+    def test_color_decode_to_device(self, rgb_frames):
+        import jax
+
+        vc = VideoCodec(CodecConfig(quality=60, chroma="420", coded_runs=True))
+        streams = vc.encode(rgb_frames)
+        dev = vc.decode_to_device(streams)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev), vc.decode(streams))
+
+    def test_mixed_tables_fall_back(self, rgb_frames):
+        """Per-frame dynamic-table encodes (different tables per frame)
+        must take the per-frame fallback, not decode with frame 0's
+        table."""
+        from dct_tpu.models.color import ColorImageCodec
+
+        cfg = CodecConfig(quality=60, chroma="444")
+        streams = [ColorImageCodec(cfg).encode(f) for f in rgb_frames]
+        want = np.stack([codec.decode(s) for s in streams])
+        got = VideoCodec(cfg).decode(streams)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestDeviceDecode:
     def test_decode_to_device_matches_host(self):
         import jax
