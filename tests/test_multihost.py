@@ -39,14 +39,19 @@ from dct_tpu.parallel import mesh as meshlib
 from dct_tpu.parallel import shard_encode
 from dct_tpu.utils import image_io
 
+import numpy as np
+
 img = image_io.synthetic_image(128, 160, "photo", seed=21)
+rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
 mesh = meshlib.make_mesh(n_data=1, n_stripe=8, devices=jax.devices())
 
-for name, cfg in (
-    ("static", CodecConfig(quality=60, static_tables=True)),
-    ("dynamic", CodecConfig(quality=60, adaptive=True)),
+for name, cfg, src in (
+    ("static", CodecConfig(quality=60, static_tables=True), img),
+    ("dynamic", CodecConfig(quality=60, adaptive=True), img),
+    ("color", CodecConfig(quality=60, chroma="420", coded_runs=True,
+                          dc_prediction=True), rgb),
 ):
-    data = shard_encode.encode_image_sharded(img, cfg, mesh)
+    data = shard_encode.encode_image_sharded(src, cfg, mesh)
     with open(f"{{outdir}}/out_{{name}}_p{{pid}}.tpdc", "wb") as f:
         f.write(data)
 print(f"worker {{pid}} done", flush=True)
@@ -92,12 +97,20 @@ def test_two_process_encode_matches_single(tmp_path):
     from dct_tpu.models import codec
     from dct_tpu.utils import image_io
 
+    from dct_tpu.models.color import ColorImageCodec
+
     img = image_io.synthetic_image(128, 160, "photo", seed=21)
-    for name, cfg in (
-        ("static", CodecConfig(quality=60, static_tables=True)),
-        ("dynamic", CodecConfig(quality=60, adaptive=True)),
+    rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
+    for name, cfg, enc in (
+        ("static", CodecConfig(quality=60, static_tables=True),
+         lambda c: codec.ImageCodec(c).encode(img)),
+        ("dynamic", CodecConfig(quality=60, adaptive=True),
+         lambda c: codec.ImageCodec(c).encode(img)),
+        ("color", CodecConfig(quality=60, chroma="420", coded_runs=True,
+                              dc_prediction=True),
+         lambda c: ColorImageCodec(c).encode(rgb)),
     ):
-        want = codec.ImageCodec(cfg).encode(img)
+        want = enc(cfg)
         for pid in (0, 1):
             got = (tmp_path / f"out_{name}_p{pid}.tpdc").read_bytes()
             assert got == want, (
@@ -106,4 +119,4 @@ def test_two_process_encode_matches_single(tmp_path):
             )
         # both processes also assembled identical bytes
         rec = codec.decode(want)
-        assert rec.shape == img.shape
+        assert rec.shape == (rgb.shape if name == "color" else img.shape)
