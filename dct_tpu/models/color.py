@@ -96,18 +96,23 @@ class ColorImageCodec:
         )
 
     def decode(self, data: bytes) -> np.ndarray:
+        return np.asarray(self.decode_to_device(data))
+
+    def decode_to_device(self, data: bytes) -> jax.Array:
+        """Decode with the RGB reconstruction left ON DEVICE (u8 jax
+        array) — for on-chip consumers; mirrors ImageCodec.decode_to_device.
+        Entropy decode runs on the host; dequant+IDCT per plane plus the
+        chroma upsample and YCbCr->RGB stay on device."""
         c = cont.deserialize(data)
         cfg = c.config
-        y = _codec.decode_plane(c.planes[0], cfg, chroma=False)
-        cb = _codec.decode_plane(c.planes[1], cfg, chroma=True)
-        cr = _codec.decode_plane(c.planes[2], cfg, chroma=True)
+        y = _codec.decode_plane_device(c.planes[0], cfg, chroma=False)
+        cb = _codec.decode_plane_device(c.planes[1], cfg, chroma=True)
+        cr = _codec.decode_plane_device(c.planes[2], cfg, chroma=True)
         h, w = c.height, c.width
-        ycb = jnp.asarray(cb, jnp.float32)
-        ycr = jnp.asarray(cr, jnp.float32)
+        ycb = cb.astype(jnp.float32)
+        ycr = cr.astype(jnp.float32)
         if cfg.chroma == "420":
             ycb = upsample_420(ycb, h, w)
             ycr = upsample_420(ycr, h, w)
-        ycc = jnp.stack(
-            [jnp.asarray(y, jnp.float32), ycb, ycr], axis=-1
-        )
-        return np.asarray(ycbcr_to_rgb(ycc))
+        ycc = jnp.stack([y.astype(jnp.float32), ycb, ycr], axis=-1)
+        return ycbcr_to_rgb(ycc)

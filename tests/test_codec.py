@@ -132,3 +132,19 @@ class TestColor:
         d444 = codec.encode(img, CodecConfig(quality=80, chroma="444"))
         d420 = codec.encode(img, CodecConfig(quality=80, chroma="420"))
         assert len(d420) < len(d444)
+
+
+def test_color_decode_to_device_matches_host():
+    import jax
+
+    from dct_tpu.models.color import ColorImageCodec
+    from dct_tpu.utils import image_io
+
+    g = image_io.synthetic_image(56, 72, "photo", seed=8)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+    for chroma in ("444", "420"):
+        cc = ColorImageCodec(CodecConfig(quality=65, chroma=chroma))
+        data = cc.encode(rgb)
+        dev = cc.decode_to_device(data)
+        assert isinstance(dev, jax.Array)
+        np.testing.assert_array_equal(np.asarray(dev), cc.decode(data))
