@@ -42,8 +42,7 @@ def test_random_config_roundtrip(seed):
     img = image_io.synthetic_image(h, w, "photo", seed=seed)
 
     data = codec.ImageCodec(cfg).encode(img)
-    if cfg.block_size == 8:  # recovery supports the 8x8 wire format fully
-        assert recovery.verify(data) == []
+    assert recovery.verify(data) == []
     rec = codec.ImageCodec(cfg).decode(data)
     assert rec.shape == img.shape
     err = np.abs(rec.astype(int) - img.astype(int)).mean()
