@@ -330,6 +330,7 @@ def encode_plane(
             packed = encode_pack(
                 symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
             )
+    packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
     stripes = bs.stripes_to_bytes(packed)
     return cont.PlaneData(
         width=w,
@@ -337,7 +338,7 @@ def encode_plane(
         table_lengths=table.lengths if table is not None else None,
         vmin=DIRECT_VMIN,
         variance_codes=np.asarray(var_codes) if cfg.adaptive else None,
-        stripe_bits=np.asarray(packed.bit_lengths, np.uint32),
+        stripe_bits=packed.bit_lengths.astype(np.uint32),
         stripes=stripes,
         run_table_lengths=(
             run_table.lengths if run_table is not None else None

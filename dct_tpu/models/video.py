@@ -87,8 +87,8 @@ def _encode_plane_batch(
             symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
         )
 
-    units = np.asarray(packed.units)
-    bits = np.asarray(packed.bit_lengths)
+    packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
+    units, bits = packed.units, packed.bit_lengths
     var_np = np.asarray(var_codes) if cfg.adaptive else None
 
     out = []

@@ -42,11 +42,31 @@ UNITS_PER_BLOCK_WORST = (64 * (MAX_BITS_PER_SYMBOL + 1) + 15) // 16  # 160
 
 
 class PackedStripes(NamedTuple):
-    """units: (n_stripes, U) int32, each holding one big-endian 16-bit unit
-    in its low bits; bit_lengths: (n_stripes,) int32 actual payload bits."""
+    """units: (n_stripes, U) uint16 big-endian stream units (kernels build
+    them in 32-bit registers — Mosaic restricts 16-bit dynamic stores — and
+    narrow on the way out, halving HBM/D2H bytes); bit_lengths:
+    (n_stripes,) int32 actual payload bits."""
 
     units: jax.Array
     bit_lengths: jax.Array
+
+
+def fetch_packed(packed: PackedStripes) -> PackedStripes:
+    """Device PackedStripes -> host numpy, fetching only the units the
+    payload actually uses.
+
+    The units buffer is allocated for the WORST-case stream (160 units per
+    8x8 block); real payloads use a few percent of that, so fetching the
+    whole buffer wastes ~30-100x in interconnect bytes (and wall time on a
+    slow link). Fetch the tiny bit_lengths first, trim the unit axis to the
+    used maximum on device (rounded up to 1024 units to bound the number of
+    distinct slice shapes XLA must compile), then fetch."""
+    bits = np.asarray(packed.bit_lengths)
+    capacity = int(packed.units.shape[-1])
+    max_units = int((int(bits.max()) + 15) // 16) if bits.size else 0
+    u_trim = min(capacity, -(-max(max_units, 1) // 1024) * 1024)
+    units = np.asarray(packed.units[..., :u_trim])
+    return PackedStripes(units=units, bit_lengths=bits)
 
 
 def symbol_chunks(
@@ -160,7 +180,10 @@ def pack_chunks(
     rows = jnp.arange(n_stripes)[:, None]
     buf = buf.at[rows, i0].add(hi, mode="drop")
     buf = buf.at[rows, i1].add(lo, mode="drop")
-    return PackedStripes(units=buf[:, :units_capacity], bit_lengths=bit_lengths)
+    return PackedStripes(
+        units=buf[:, :units_capacity].astype(jnp.uint16),
+        bit_lengths=bit_lengths,
+    )
 
 
 def _pack_one_stripe_gather(cv: jax.Array, cl: jax.Array, units_capacity: int):
@@ -230,7 +253,7 @@ def pack_chunks_gather(
     buf, bits = jax.vmap(
         lambda v, l: _pack_one_stripe_gather(v, l, units_capacity)
     )(cv, cl)
-    return PackedStripes(units=buf, bit_lengths=bits)
+    return PackedStripes(units=buf.astype(jnp.uint16), bit_lengths=bits)
 
 
 def pack_chunks_tiled(
@@ -344,7 +367,8 @@ def pack_chunks_tiled(
 
     buf = jax.vmap(place)(buf, spans[:, 0], bases[:, 0])
     return PackedStripes(
-        units=buf[:, :units_capacity], bit_lengths=bit_lengths
+        units=buf[:, :units_capacity].astype(jnp.uint16),
+        bit_lengths=bit_lengths,
     )
 
 

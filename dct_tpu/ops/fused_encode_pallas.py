@@ -360,5 +360,6 @@ def encode_stripes_fused(
         ),
     )(lens3, codes3, rlens3, rcodes3, px, jnp.asarray(m2), jnp.asarray(b2), s)
     return PackedStripes(
-        units=units[:, 0, :units_capacity], bit_lengths=bits[:, 0, 0]
+        units=units[:, 0, :units_capacity].astype(jnp.uint16),
+        bit_lengths=bits[:, 0, 0],
     )

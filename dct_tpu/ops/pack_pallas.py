@@ -140,5 +140,6 @@ def pack_chunks_pallas(
         ),
     )(bases, i0[:, None, :], hi[:, None, :], lo[:, None, :])
     return PackedStripes(
-        units=units[:, 0, :units_capacity], bit_lengths=bit_lengths
+        units=units[:, 0, :units_capacity].astype(jnp.uint16),
+        bit_lengths=bit_lengths,
     )

@@ -201,9 +201,16 @@ def encode_plane_sharded(
     _ = stripe_byte_offsets(packed.bit_lengths, mesh)
 
     # container assembly happens on the host: under multi-process SPMD the
-    # writer must first gather the shards living on other hosts
+    # writer must first gather the shards living on other hosts. Gather the
+    # tiny bit-lengths first and trim the units' worst-case slack on device
+    # so the cross-host gather moves only payload-sized data (the same trim
+    # bs.fetch_packed applies single-process).
+    all_bits = _host_full(packed.bit_lengths)
+    capacity = int(packed.units.shape[-1])
+    max_units = int((int(all_bits.max()) + 15) // 16) if all_bits.size else 1
+    u_trim = min(capacity, -(-max(max_units, 1) // 1024) * 1024)
     packed = bs.PackedStripes(
-        units=_host_full(packed.units), bit_lengths=_host_full(packed.bit_lengths)
+        units=_host_full(packed.units[..., :u_trim]), bit_lengths=all_bits
     )
     stripes = bs.stripes_to_bytes(packed)[:n_stripes]
     return cont.PlaneData(
