@@ -145,11 +145,7 @@ def cmd_roundtrip(args) -> int:
 def cmd_verify(args) -> int:
     from dct_tpu.models import recovery
 
-    try:
-        bad = recovery.verify(open(args.input, "rb").read())
-    except NotImplementedError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    bad = recovery.verify(open(args.input, "rb").read())
     if bad:
         print(f"{args.input}: CORRUPT stripes {bad}")
         return 1
@@ -163,11 +159,7 @@ def cmd_repair(args) -> int:
 
     data = open(args.input, "rb").read()
     src = image_io.read_image(args.source)
-    try:
-        bad = recovery.verify(data)
-    except NotImplementedError as e:
-        print(f"error: {e}", file=sys.stderr)
-        return 2
+    bad = recovery.verify(data)
     if not bad:
         print(f"{args.input}: nothing to repair")
         return 0

@@ -60,6 +60,21 @@ def upsample_420(plane: jax.Array, h: int, w: int) -> jax.Array:
     return x[:h, :w]
 
 
+def planes_to_rgb(
+    y: jax.Array, cb: jax.Array, cr: jax.Array, mode: str, h: int, w: int
+) -> jax.Array:
+    """Decoded planes -> (h, w, 3) u8 RGB on device: chroma upsample
+    (4:2:0) + YCbCr->RGB. The shared reconstruction tail of every color
+    decoder (image, batched video, sharded) — keep them byte-identical by
+    construction."""
+    cb = cb.astype(jnp.float32)
+    cr = cr.astype(jnp.float32)
+    if mode == "420":
+        cb = upsample_420(cb, h, w)
+        cr = upsample_420(cr, h, w)
+    return ycbcr_to_rgb(jnp.stack([y.astype(jnp.float32), cb, cr], axis=-1))
+
+
 @functools.partial(jax.jit, static_argnames=("mode",))
 def _to_planes(rgb: jax.Array, mode: str):
     ycc = rgb_to_ycbcr(rgb)
@@ -108,11 +123,4 @@ class ColorImageCodec:
         y = _codec.decode_plane_device(c.planes[0], cfg, chroma=False)
         cb = _codec.decode_plane_device(c.planes[1], cfg, chroma=True)
         cr = _codec.decode_plane_device(c.planes[2], cfg, chroma=True)
-        h, w = c.height, c.width
-        ycb = cb.astype(jnp.float32)
-        ycr = cr.astype(jnp.float32)
-        if cfg.chroma == "420":
-            ycb = upsample_420(ycb, h, w)
-            ycr = upsample_420(ycr, h, w)
-        ycc = jnp.stack([y.astype(jnp.float32), ycb, ycr], axis=-1)
-        return ycbcr_to_rgb(ycc)
+        return planes_to_rgb(y, cb, cr, cfg.chroma, c.height, c.width)

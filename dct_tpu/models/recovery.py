@@ -179,6 +179,7 @@ def _repair_plane(
             raise ValueError(f"stripe {s} out of range (n_stripes={n_stripes})")
         rows = img[s * rows_per_stripe : (s + 1) * rows_per_stripe]
         packed, vc = _encode_one_stripe(rows, cfg, table, run_table, chroma)
+        packed = bs.fetch_packed(packed)  # trim worst-case slack, as encode
         new_stripes[s] = bs.stripes_to_bytes(packed)[0]
         stripe_bits[s] = int(packed.bit_lengths[0])
         if cfg.adaptive:
@@ -225,6 +226,15 @@ def repair(
     (plane_index, stripe_index) pairs — both as verify() reports them."""
     c = cont.deserialize(data)
     cfg = c.config
+    # validate the source BEFORE the nothing-to-repair short-circuit: a
+    # wrong source must never be reported as a successful (no-op) repair
+    want_shape = (
+        (c.height, c.width) if _is_gray(c) else (c.height, c.width, 3)
+    )
+    if tuple(source.shape) != want_shape:
+        raise ValueError(
+            f"source {source.shape} != container image {want_shape}"
+        )
     if stripes is None:
         stripes = verify(data)
     if not stripes:

@@ -194,16 +194,11 @@ class VideoCodec:
 
         @jax.jit
         def recombine(yy, b, r):
-            def one(yi, bi, ri):
-                bi = bi.astype(jnp.float32)
-                ri = ri.astype(jnp.float32)
-                if cfg.chroma == "420":
-                    bi = _color.upsample_420(bi, h, w)
-                    ri = _color.upsample_420(ri, h, w)
-                ycc = jnp.stack([yi.astype(jnp.float32), bi, ri], axis=-1)
-                return _color.ycbcr_to_rgb(ycc)
-
-            return jax.vmap(one)(yy, b, r)
+            return jax.vmap(
+                lambda yi, bi, ri: _color.planes_to_rgb(
+                    yi, bi, ri, cfg.chroma, h, w
+                )
+            )(yy, b, r)
 
         return recombine(y, cb, cr)
 

@@ -51,6 +51,14 @@ class PackedStripes(NamedTuple):
     bit_lengths: jax.Array
 
 
+def trim_units_count(bits: np.ndarray, capacity: int) -> int:
+    """Unit count to keep when fetching a worst-case units buffer whose
+    payload sizes are `bits`: the used maximum, rounded up to 1024 units to
+    bound the number of distinct slice shapes XLA must compile."""
+    max_units = int((int(bits.max()) + 15) // 16) if bits.size else 1
+    return min(int(capacity), -(-max(max_units, 1) // 1024) * 1024)
+
+
 def fetch_packed(packed: PackedStripes) -> PackedStripes:
     """Device PackedStripes -> host numpy, fetching only the units the
     payload actually uses.
@@ -59,12 +67,9 @@ def fetch_packed(packed: PackedStripes) -> PackedStripes:
     8x8 block); real payloads use a few percent of that, so fetching the
     whole buffer wastes ~30-100x in interconnect bytes (and wall time on a
     slow link). Fetch the tiny bit_lengths first, trim the unit axis to the
-    used maximum on device (rounded up to 1024 units to bound the number of
-    distinct slice shapes XLA must compile), then fetch."""
+    used maximum on device (see trim_units_count), then fetch."""
     bits = np.asarray(packed.bit_lengths)
-    capacity = int(packed.units.shape[-1])
-    max_units = int((int(bits.max()) + 15) // 16) if bits.size else 0
-    u_trim = min(capacity, -(-max(max_units, 1) // 1024) * 1024)
+    u_trim = trim_units_count(bits, packed.units.shape[-1])
     units = np.asarray(packed.units[..., :u_trim])
     return PackedStripes(units=units, bit_lengths=bits)
 

@@ -274,7 +274,8 @@ def encode_stripes_fused(
     Semantically identical (byte-identical streams) to
     rle_encode_positional + symbol_chunks + pack_chunks, fused with the
     transform. Requires block_size 8 and category mode. run_lengths/
-    run_codes: (64,) canonical run table for cfg.coded_runs.
+    run_codes: (65,) canonical run table — runs 0..63 plus the all-zero-
+    block terminal run 64 — for cfg.coded_runs.
     """
     from dct_tpu.ops import bitstream as bs
 

@@ -181,7 +181,7 @@ def encode_plane_sharded(
         if cfg.use_huffman and cfg.huffman_mode == "category":
             hist = global_category_histogram(symbols.values, live, mesh)
         else:
-            hist = _hist_fallback(symbols, cfg)
+            hist = _hist_fallback(symbols, cfg, nb_real)
         table = _codec._build_table(cfg, np.asarray(hist))
         if cfg.coded_runs:
             # second collective: psum the run histogram so every shard
@@ -206,9 +206,7 @@ def encode_plane_sharded(
     # so the cross-host gather moves only payload-sized data (the same trim
     # bs.fetch_packed applies single-process).
     all_bits = _host_full(packed.bit_lengths)
-    capacity = int(packed.units.shape[-1])
-    max_units = int((int(all_bits.max()) + 15) // 16) if all_bits.size else 1
-    u_trim = min(capacity, -(-max(max_units, 1) // 1024) * 1024)
+    u_trim = bs.trim_units_count(all_bits, packed.units.shape[-1])
     packed = bs.PackedStripes(
         units=_host_full(packed.units[..., :u_trim]), bit_lengths=all_bits
     )
@@ -232,10 +230,16 @@ def encode_plane_sharded(
     )
 
 
-def _hist_fallback(symbols, cfg):
+def _hist_fallback(symbols, cfg, nb_real: int):
     if cfg.use_huffman and cfg.huffman_mode == "direct":
+        # mesh-pad stripes must not contaminate the value histogram either
+        # (same mesh-shape-invariance reasoning as the category psum path):
+        # zero their per-block symbol counts before histogramming
+        counts = jnp.where(
+            jnp.arange(symbols.values.shape[0]) < nb_real, symbols.counts, 0
+        )
         return hf.value_histogram(
-            symbols.values, symbols.counts, _codec.DIRECT_VMIN, -_codec.DIRECT_VMIN
+            symbols.values, counts, _codec.DIRECT_VMIN, -_codec.DIRECT_VMIN
         )
     return jnp.zeros(1, jnp.int32)
 
@@ -369,13 +373,7 @@ def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
 
     @jax.jit
     def recombine(yy, b, r):
-        b = b.astype(jnp.float32)
-        r = r.astype(jnp.float32)
-        if cfg.chroma == "420":
-            b = _color.upsample_420(b, h, w)
-            r = _color.upsample_420(r, h, w)
-        ycc = jnp.stack([yy.astype(jnp.float32), b, r], axis=-1)
-        return _color.ycbcr_to_rgb(ycc)
+        return _color.planes_to_rgb(yy, b, r, cfg.chroma, h, w)
 
     return recombine(y, cb, cr)
 

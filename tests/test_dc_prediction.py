@@ -15,7 +15,8 @@ Contracts pinned here:
   * sharded encode stays byte-identical to single-device for every mesh;
   * sharded decode, recovery (verify/repair/region decode), and video all
     invert the prediction;
-  * the fused Pallas kernel (which has no DPCM support) is gated off.
+  * the fused Pallas kernel implements the DPCM in-kernel on TPU
+    (byte-identity pinned in test_fused_encode.py).
 """
 
 from __future__ import annotations

@@ -57,6 +57,18 @@ class TestDeterminism:
         sharded = shard_encode.encode_image_sharded(photo, cfg, mesh)
         assert sharded == single
 
+    def test_direct_mode_sharded_nondivisible(self):
+        """Direct-mode value histograms must also mask mesh-pad stripes or
+        the per-image table (and the container) depends on the mesh."""
+        img = image_io.synthetic_image(120, 96, "photo", seed=3)  # 15 stripes
+        cfg = CodecConfig(quality=50, huffman_mode="direct")
+        single = codec.encode(img, cfg)
+        for n in (2, 4, 8):
+            mesh = meshlib.make_mesh(
+                n_data=1, n_stripe=n, devices=jax.devices()[:n]
+            )
+            assert shard_encode.encode_image_sharded(img, cfg, mesh) == single
+
     @pytest.mark.parametrize("adaptive", (False, True))
     @pytest.mark.parametrize("static", (False, True))
     def test_sharded_equals_single_nondivisible(self, adaptive, static):

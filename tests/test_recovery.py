@@ -82,6 +82,10 @@ def test_repair_rejects_wrong_source(image):
     data = codec.ImageCodec(cfg).encode(image)
     with pytest.raises(ValueError):
         recovery.repair(data, image[:-8, :], stripes=[0])
+    # even with nothing to repair, a wrong source is an error, never a
+    # silent no-op success
+    with pytest.raises(ValueError):
+        recovery.repair(data, image[:-8, :])
 
 
 def test_decode_region_matches_full(image):
