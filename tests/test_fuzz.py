@@ -50,9 +50,12 @@ def test_random_config_roundtrip(seed):
     assert err < 64, f"cfg={cfg} mean abs err {err}"
 
 
-def test_truncations_fail_cleanly():
+@pytest.mark.parametrize("chroma", ["gray", "420"])
+def test_truncations_fail_cleanly(chroma):
     img = image_io.synthetic_image(40, 56, "photo", seed=2)
-    data = codec.ImageCodec(CodecConfig(quality=50)).encode(img)
+    if chroma != "gray":
+        img = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
+    data = codec.encode(img, CodecConfig(quality=50, chroma=chroma))
     rng = np.random.default_rng(0)
     cuts = sorted(set(
         [0, 1, 3, 4, 5, 19, 20, 21, len(data) - 1]
@@ -65,19 +68,21 @@ def test_truncations_fail_cleanly():
             cont.deserialize(data[:cut])
 
 
-def test_byte_corruption_never_escapes_valueerror():
+@pytest.mark.parametrize("chroma", ["gray", "420"])
+def test_byte_corruption_never_escapes_valueerror(chroma):
     """Flipping bytes anywhere in the container either still decodes (bit
     damage inside a stripe can produce a valid-looking stream — that is
     what recovery.verify's bit-count check is for) or raises ValueError."""
     img = image_io.synthetic_image(32, 40, "photo", seed=4)
-    data = codec.ImageCodec(CodecConfig(quality=50)).encode(img)
+    if chroma != "gray":
+        img = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], -1)
+    data = codec.encode(img, CodecConfig(quality=50, chroma=chroma))
     rng = np.random.default_rng(1)
     for _ in range(20):
         i = int(rng.integers(4, len(data)))  # keep the magic intact
         mutated = bytearray(data)
         mutated[i] ^= int(rng.integers(1, 256))
         try:
-            c = cont.deserialize(bytes(mutated))
-            codec.decode_plane(c.planes[0], c.config)
+            codec.decode(bytes(mutated))
         except (ValueError, IndexError):
             pass  # clean rejection is acceptable; crashes are not
