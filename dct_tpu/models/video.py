@@ -45,67 +45,130 @@ def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes,
     )(symbols)
 
 
+# Device-memory budget per encode dispatch, in pixels. The dominant
+# allocation is the worst-case units buffer (~1.25 B/pixel in i32 plus the
+# uint16 narrowing copy); 128 Mpix keeps one chunk under ~3 GB at any
+# frame size, so arbitrarily long stacks encode in bounded memory
+# (a 256-frame 1080p batch — BASELINE config 2 — OOMs a 16 GB chip if
+# dispatched whole).
+CHUNK_PIXEL_BUDGET = 128_000_000
+
+
 def _encode_plane_batch(
-    planes: jax.Array, cfg: CodecConfig, chroma: bool = False
+    planes: jax.Array,
+    cfg: CodecConfig,
+    chroma: bool = False,
+    chunk_frames: int | None = None,
 ) -> list[cont.PlaneData]:
     """(F, h, w) u8 plane stack -> one PlaneData per frame.
 
-    One batched device dispatch per stage; a single Huffman table (and run
-    table) per plane TYPE shared across the batch."""
+    One batched device dispatch per stage per chunk of frames (chunks are
+    sized by CHUNK_PIXEL_BUDGET unless chunk_frames is given); a single
+    Huffman table (and run table) per plane TYPE shared across the WHOLE
+    batch, so the output is byte-identical for every chunking: dynamic
+    tables come from histograms accumulated over all chunks (pass 1), and
+    pass 2 re-derives each chunk's symbols against the final tables."""
     f, h, w = (int(x) for x in planes.shape)
     bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
     n = cfg.block_size
 
     from dct_tpu.ops import blocks as blk
 
-    imgs = blk.pad_to_blocks(jnp.asarray(planes, jnp.uint8), n)
+    if chunk_frames is None:
+        chunk_frames = max(1, CHUNK_PIXEL_BUDGET // (h * w))
+    chunk = max(1, min(int(chunk_frames), f))
+
     ph, pw = bh * n, bw * n
-    imgs = jnp.pad(
-        imgs,
-        ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
-        mode="edge",
-    )
+
+    def prep(sub):
+        imgs = blk.pad_to_blocks(jnp.asarray(sub, jnp.uint8), n)
+        return jnp.pad(
+            imgs,
+            ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
+            mode="edge",
+        )
 
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
         run_table = _codec._build_run_table(cfg, None)
-        packed, var_codes = jax.vmap(
-            lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
-        )(imgs)
-    else:
-        symbols, var_codes, hist, run_hist = _analyze_batch(
-            imgs, cfg, chroma=chroma
+        lengths = codes = run_lengths = run_codes = None
+        symbols_once = None
+    elif f <= chunk:
+        # single chunk: analyze once and pack the SAME symbols (no
+        # recompute)
+        symbols_once, var_once, hist, run_hist = _analyze_batch(
+            prep(planes), cfg, chroma=chroma
         )
         table = _codec._build_table(cfg, np.asarray(hist))
         run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
         lengths, codes = _codec._table_arrays(table)
-        if cfg.coded_runs:
-            run_lengths, run_codes = _codec._table_arrays(run_table)
-        else:
-            run_lengths = run_codes = None
-        packed = _pack_batch(
-            symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        run_lengths, run_codes = (
+            _codec._table_arrays(run_table) if cfg.coded_runs else (None, None)
         )
+    else:
+        # pass 1: batch-global histograms, chunk by chunk (symbols dropped
+        # per chunk to bound device memory)
+        hist = run_hist = None
+        for i0 in range(0, f, chunk):
+            _, _, h_, rh_ = _analyze_batch(
+                prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
+            )
+            hist = np.asarray(h_) + (0 if hist is None else hist)
+            run_hist = np.asarray(rh_) + (0 if run_hist is None else run_hist)
+        table = _codec._build_table(cfg, hist)
+        run_table = _codec._build_run_table(cfg, run_hist)
+        lengths, codes = _codec._table_arrays(table)
+        run_lengths, run_codes = (
+            _codec._table_arrays(run_table) if cfg.coded_runs else (None, None)
+        )
+        symbols_once = None
 
-    packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
-    units, bits = packed.units, packed.bit_lengths
-    var_np = np.asarray(var_codes) if cfg.adaptive else None
+    var_list: list = []
+    out: list[cont.PlaneData] = []
+    for i0 in range(0, f, chunk):
+        imgs = prep(planes[i0 : i0 + chunk])
+        if cfg.static_tables:
+            packed, var_codes = jax.vmap(
+                lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
+            )(imgs)
+        elif symbols_once is not None:
+            packed = _pack_batch(
+                symbols_once, cfg, n_stripes, lengths, codes,
+                run_lengths, run_codes,
+            )
+            var_codes = var_once
+        elif _codec._fused_kernel_ok(cfg):
+            packed, var_codes = jax.vmap(
+                lambda im: _codec.encode_fused_step(
+                    im, cfg, n_stripes, lengths, codes, chroma,
+                    run_lengths, run_codes,
+                )
+            )(imgs)
+        else:
+            symbols, var_codes, _, _ = _analyze_batch(imgs, cfg, chroma=chroma)
+            packed = _pack_batch(
+                symbols, cfg, n_stripes, lengths, codes,
+                run_lengths, run_codes,
+            )
 
-    out = []
-    for i in range(f):
-        stripes = bs.stripes_to_bytes(bs.PackedStripes(units[i], bits[i]))
-        out.append(cont.PlaneData(
-            width=w,
-            height=h,
-            table_lengths=table.lengths if table is not None else None,
-            vmin=_codec.DIRECT_VMIN,
-            variance_codes=var_np[i] if cfg.adaptive else None,
-            stripe_bits=bits[i].astype(np.uint32),
-            stripes=stripes,
-            run_table_lengths=(
-                run_table.lengths if run_table is not None else None
-            ),
-        ))
+        packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
+        units, bits = packed.units, packed.bit_lengths
+        var_np = np.asarray(var_codes) if cfg.adaptive else None
+
+        for i in range(units.shape[0]):
+            stripes = bs.stripes_to_bytes(bs.PackedStripes(units[i], bits[i]))
+            out.append(cont.PlaneData(
+                width=w,
+                height=h,
+                table_lengths=table.lengths if table is not None else None,
+                vmin=_codec.DIRECT_VMIN,
+                variance_codes=var_np[i] if cfg.adaptive else None,
+                stripe_bits=bits[i].astype(np.uint32),
+                stripes=stripes,
+                run_table_lengths=(
+                    run_table.lengths if run_table is not None else None
+                ),
+            ))
     return out
 
 
@@ -114,17 +177,27 @@ class VideoCodec:
     returns a list of per-frame containers (each independently decodable
     with models.codec.decode)."""
 
-    def __init__(self, config: CodecConfig | None = None):
+    def __init__(
+        self,
+        config: CodecConfig | None = None,
+        chunk_frames: int | None = None,
+    ):
+        """chunk_frames caps frames per device dispatch (None = auto from
+        CHUNK_PIXEL_BUDGET). Output bytes are chunking-invariant."""
         self.config = config or CodecConfig()
+        self.chunk_frames = chunk_frames
 
     def encode(self, frames: np.ndarray) -> list[bytes]:
         cfg = self.config
+        ck = self.chunk_frames
         if cfg.chroma == "gray":
             if frames.ndim != 3:
                 raise ValueError(f"expected (F, H, W), got {frames.shape}")
             f, h, w = (int(x) for x in frames.shape)
+            # frames stay on host; _encode_plane_batch transfers per chunk
             per_frame = [
-                [p] for p in _encode_plane_batch(jnp.asarray(frames), cfg)
+                [p]
+                for p in _encode_plane_batch(frames, cfg, chunk_frames=ck)
             ]
         else:
             if frames.ndim != 4 or frames.shape[-1] != 3:
@@ -135,12 +208,20 @@ class VideoCodec:
             from dct_tpu.models import color as _color
 
             f, h, w = (int(x) for x in frames.shape[:3])
-            y, cb, cr = jax.vmap(
-                lambda im: _color._to_planes(im, cfg.chroma)
-            )(jnp.asarray(frames, jnp.uint8))
-            ys = _encode_plane_batch(y, cfg, chroma=False)
-            cbs = _encode_plane_batch(cb, cfg, chroma=True)
-            crs = _encode_plane_batch(cr, cfg, chroma=True)
+            # RGB->YCbCr in chunks too: the f32 intermediates of a whole
+            # long stack would dwarf the u8 planes they produce
+            cc = ck or max(1, CHUNK_PIXEL_BUDGET // (h * w))
+            parts = [[], [], []]
+            for i0 in range(0, f, cc):
+                planes = jax.vmap(
+                    lambda im: _color._to_planes(im, cfg.chroma)
+                )(jnp.asarray(frames[i0 : i0 + cc], jnp.uint8))
+                for lst, p in zip(parts, planes):
+                    lst.append(np.asarray(p))
+            y, cb, cr = (np.concatenate(lst) for lst in parts)
+            ys = _encode_plane_batch(y, cfg, chroma=False, chunk_frames=ck)
+            cbs = _encode_plane_batch(cb, cfg, chroma=True, chunk_frames=ck)
+            crs = _encode_plane_batch(cr, cfg, chroma=True, chunk_frames=ck)
             per_frame = [[ys[i], cbs[i], crs[i]] for i in range(f)]
 
         return [

@@ -48,6 +48,32 @@ class TestVideoCodec:
         assert metrics.psnr(rec, frames) >= 28
 
 
+class TestChunkedEncode:
+    """Long stacks encode in bounded device memory (chunk_frames); the
+    bytes must be identical for EVERY chunking — dynamic tables come from
+    histograms accumulated across all chunks."""
+
+    @pytest.mark.parametrize("static", [False, True])
+    @pytest.mark.parametrize("coded_runs", [False, True])
+    def test_chunking_invariant_gray(self, frames, static, coded_runs):
+        cfg = CodecConfig(
+            quality=55, static_tables=static, coded_runs=coded_runs,
+            adaptive=not static,
+        )
+        whole = VideoCodec(cfg).encode(frames)  # 5 frames, single chunk
+        for ck in (1, 2, 3):
+            assert VideoCodec(cfg, chunk_frames=ck).encode(frames) == whole
+
+    def test_chunking_invariant_color(self, frames):
+        rgb = np.stack(
+            [np.stack([f, np.roll(f, 3, 0), np.roll(f, 5, 1)], -1)
+             for f in frames]
+        )
+        cfg = CodecConfig(quality=60, chroma="420", dc_prediction=True)
+        whole = VideoCodec(cfg).encode(rgb)
+        assert VideoCodec(cfg, chunk_frames=2).encode(rgb) == whole
+
+
 class TestColorVideo:
     @pytest.fixture(scope="class")
     def rgb_frames(self):
