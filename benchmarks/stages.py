@@ -86,7 +86,7 @@ def main() -> int:
         ("transform", lambda fr: jnp.sum(enc(fr).astype(jnp.int32))),
         ("+ rle", lambda fr: (lambda s: jnp.sum(s.values) + jnp.sum(s.runs))(rle_s(fr))),
         ("+ chunks", lambda fr: (lambda cvcl: jnp.sum(cvcl[0].astype(jnp.int32)) + jnp.sum(cvcl[1]))(chunks(fr))),
-        ("full encode_step", lambda fr: (lambda p: jnp.sum(p.units) + jnp.sum(p.bit_lengths))(full(fr))),
+        ("full encode_step", lambda fr: (lambda p: jnp.sum(p.units.astype(jnp.int32)) + jnp.sum(p.bit_lengths))(full(fr))),
     ]
 
     print(f"backend={jax.default_backend()} frames={F} size={w}x{h} "

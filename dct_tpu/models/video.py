@@ -263,6 +263,23 @@ class VideoCodec:
         if any(_key(c) != k0 for c in conts[1:]):
             # mixed batch: fall back to per-frame decode
             return jnp.stack([jnp.asarray(_codec.decode(s)) for s in streams])
+
+        # symmetric with encode: decode long stacks in frame chunks so the
+        # coefficient grids + f32 intermediates stay in bounded memory
+        ck = self.chunk_frames or max(
+            1, CHUNK_PIXEL_BUDGET // (c0.height * c0.width)
+        )
+        if len(conts) > ck:
+            return jnp.concatenate([
+                self._decode_cont_batch(conts[i0 : i0 + ck], cfg)
+                for i0 in range(0, len(conts), ck)
+            ])
+        return self._decode_cont_batch(conts, cfg)
+
+    def _decode_cont_batch(
+        self, conts: list[cont.Container], cfg: CodecConfig
+    ) -> jax.Array:
+        c0 = conts[0]
         if cfg.chroma == "gray":
             return self._decode_plane_batch(conts, cfg, 0, chroma=False)
 

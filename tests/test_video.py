@@ -64,6 +64,14 @@ class TestChunkedEncode:
         for ck in (1, 2, 3):
             assert VideoCodec(cfg, chunk_frames=ck).encode(frames) == whole
 
+    def test_chunked_decode_matches(self, frames):
+        cfg = CodecConfig(quality=55, adaptive=True)
+        streams = VideoCodec(cfg).encode(frames)
+        whole = VideoCodec(cfg).decode(streams)
+        np.testing.assert_array_equal(
+            VideoCodec(cfg, chunk_frames=2).decode(streams), whole
+        )
+
     def test_chunking_invariant_color(self, frames):
         rgb = np.stack(
             [np.stack([f, np.roll(f, 3, 0), np.roll(f, 5, 1)], -1)
