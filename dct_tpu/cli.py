@@ -209,6 +209,45 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_encode_video(args) -> int:
+    from dct_tpu import container as cont
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.utils import metrics
+
+    frames = np.load(args.input)
+    if frames.dtype != np.uint8 or frames.ndim not in (3, 4):
+        raise SystemExit(
+            f"expected u8 (F, H, W) or (F, H, W, 3) .npy, got "
+            f"{frames.dtype} {frames.shape}"
+        )
+    color = frames.ndim == 4
+    cfg = _config_from_args(args, color=color)
+    t0 = time.perf_counter()
+    streams = VideoCodec(cfg, chunk_frames=args.chunk_frames).encode(frames)
+    dt = time.perf_counter() - t0
+    data = cont.serialize_streams(streams)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(
+        f"{args.input}: {frames.shape[0]} frames -> {len(data)} bytes "
+        f"({metrics.compression_ratio(frames.size, len(data)):.2f}:1) "
+        f"in {dt*1e3:.1f} ms"
+    )
+    return 0
+
+
+def cmd_decode_video(args) -> int:
+    from dct_tpu import container as cont
+    from dct_tpu.models.video import VideoCodec
+
+    streams = cont.deserialize_streams(open(args.input, "rb").read())
+    cfg = cont.deserialize(streams[0]).config
+    frames = VideoCodec(cfg).decode(streams)
+    np.save(args.output, frames)
+    print(f"{args.input} -> {args.output} ({frames.shape})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="dct-tpu",
                                  description="TPU-native DCT image codec")
@@ -243,6 +282,20 @@ def main(argv=None) -> int:
     p.add_argument("-o", "--output", default=None,
                    help="write here instead of in place")
     p.set_defaults(fn=cmd_repair)
+
+    p = sub.add_parser(
+        "encode-video", help="u8 (F,H,W[,3]) .npy -> .tpdv stream file"
+    )
+    p.add_argument("input"); p.add_argument("output")
+    p.add_argument("--chunk-frames", type=int, default=None,
+                   help="frames per device dispatch (default: auto "
+                        "from the 128 Mpix memory budget)")
+    _add_codec_args(p)
+    p.set_defaults(fn=cmd_encode_video)
+
+    p = sub.add_parser("decode-video", help=".tpdv -> u8 .npy frame stack")
+    p.add_argument("input"); p.add_argument("output")
+    p.set_defaults(fn=cmd_decode_video)
 
     p = sub.add_parser("bench", help="encode throughput")
     p.add_argument("--size", default="1920x1088")

@@ -241,3 +241,47 @@ def _deserialize(data: bytes) -> Container:
             )
         )
     return Container(config=cfg, width=width, height=height, planes=planes)
+
+
+# ---------------------------------------------------------------------------
+# Stream files: many per-frame containers in one .tpdv file
+# ---------------------------------------------------------------------------
+
+VIDEO_MAGIC = b"TPDV"
+
+
+def serialize_streams(streams: list[bytes]) -> bytes:
+    """Concatenate per-frame TPDC containers into one seekable stream file.
+
+    Layout: magic, u32 frame count, u32 sizes table, then the containers
+    back to back. The sizes table gives random access to any frame without
+    parsing the others (mirrors the per-stripe offsets table inside each
+    container, one level up)."""
+    out = bytearray()
+    out += VIDEO_MAGIC
+    out += struct.pack("<I", len(streams))
+    out += np.asarray([len(s) for s in streams], "<u4").tobytes()
+    for s in streams:
+        out += s
+    return bytes(out)
+
+
+def deserialize_streams(data: bytes) -> list[bytes]:
+    """Stream file -> list of per-frame TPDC container bytes."""
+    if data[:4] != VIDEO_MAGIC:
+        raise ValueError("not a TPDV stream file")
+    if len(data) < 8:
+        raise ValueError("truncated TPDV header")
+    (count,) = struct.unpack_from("<I", data, 4)
+    table_end = 8 + 4 * count
+    if len(data) < table_end:
+        raise ValueError("truncated TPDV sizes table")
+    sizes = np.frombuffer(data[8:table_end], "<u4")
+    if table_end + int(sizes.sum()) > len(data):
+        raise ValueError("truncated TPDV payload")
+    out = []
+    pos = table_end
+    for n in sizes:
+        out.append(data[pos : pos + int(n)])
+        pos += int(n)
+    return out

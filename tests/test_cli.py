@@ -82,3 +82,54 @@ def test_color_roundtrip(pgm, tmp_path):
 def test_unknown_command_rejected():
     with pytest.raises(SystemExit):
         cli.main(["frobnicate", "x"])
+
+
+def test_encode_decode_video(tmp_path, capsys):
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(40, 56, "photo", seed=3)
+    frames = np.stack([np.roll(base, 5 * i, 0) for i in range(4)])
+    inp = tmp_path / "v.npy"
+    np.save(inp, frames)
+    out = tmp_path / "v.tpdv"
+    rec = tmp_path / "r.npy"
+    assert cli.main(["encode-video", str(inp), str(out),
+                     "--quality", "60", "--coded-runs"]) == 0
+    assert cli.main(["decode-video", str(out), str(rec)]) == 0
+    got = np.load(rec)
+    assert got.shape == frames.shape
+    from dct_tpu.utils import metrics
+    assert metrics.psnr(got, frames) >= 30
+
+
+def test_encode_decode_video_color(tmp_path, capsys):
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(40, 56, "photo", seed=4)
+    rgb = np.stack([base, np.roll(base, 3, 0), np.roll(base, 5, 1)], -1)
+    frames = np.stack([rgb, rgb[::-1]])
+    inp = tmp_path / "c.npy"
+    np.save(inp, frames)
+    out = tmp_path / "c.tpdv"
+    rec = tmp_path / "rc.npy"
+    assert cli.main(["encode-video", str(inp), str(out), "--quality", "70"]) == 0
+    assert cli.main(["decode-video", str(out), str(rec)]) == 0
+    assert np.load(rec).shape == frames.shape
+
+
+def test_tpdv_truncation_fails_cleanly(tmp_path):
+    from dct_tpu import container as cont
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(24, 32, "photo", seed=5)
+    frames = np.stack([base, base[::-1]])
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.config import CodecConfig
+
+    data = cont.serialize_streams(
+        VideoCodec(CodecConfig(quality=50)).encode(frames)
+    )
+    assert cont.deserialize_streams(data)  # intact roundtrip
+    for cut in (0, 3, 6, 10, len(data) - 1):
+        with pytest.raises(ValueError):
+            cont.deserialize_streams(data[:cut])
