@@ -143,9 +143,22 @@ def cmd_roundtrip(args) -> int:
 
 
 def cmd_verify(args) -> int:
+    from dct_tpu import container as cont
     from dct_tpu.models import recovery
 
-    bad = recovery.verify(open(args.input, "rb").read())
+    data = open(args.input, "rb").read()
+    if data[:4] == cont.VIDEO_MAGIC:  # .tpdv: scan every frame
+        bad = {
+            i: b
+            for i, s in enumerate(cont.deserialize_streams(data))
+            if (b := recovery.verify(s))
+        }
+        if bad:
+            print(f"{args.input}: CORRUPT frames {bad}")
+            return 1
+        print(f"{args.input}: all frames OK")
+        return 0
+    bad = recovery.verify(data)
     if bad:
         print(f"{args.input}: CORRUPT stripes {bad}")
         return 1

@@ -133,3 +133,26 @@ def test_tpdv_truncation_fails_cleanly(tmp_path):
     for cut in (0, 3, 6, 10, len(data) - 1):
         with pytest.raises(ValueError):
             cont.deserialize_streams(data[:cut])
+
+
+def test_verify_video_stream(tmp_path, capsys):
+    from dct_tpu import container as cont
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(32, 40, "photo", seed=6)
+    frames = np.stack([base, base[::-1]])
+    streams = VideoCodec(CodecConfig(quality=50)).encode(frames)
+    out = tmp_path / "v.tpdv"
+    out.write_bytes(cont.serialize_streams(streams))
+    assert cli.main(["verify", str(out)]) == 0
+    assert "all frames OK" in capsys.readouterr().out
+
+    # corrupt frame 1's last stripe payload
+    raw = bytearray(cont.serialize_streams(streams))
+    raw[-12:-4] = b"\x99" * 8
+    bad = tmp_path / "bad.tpdv"
+    bad.write_bytes(bytes(raw))
+    assert cli.main(["verify", str(bad)]) == 1
+    assert "CORRUPT frames" in capsys.readouterr().out
