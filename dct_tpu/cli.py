@@ -167,17 +167,37 @@ def cmd_verify(args) -> int:
 
 
 def cmd_repair(args) -> int:
+    from dct_tpu import container as cont
     from dct_tpu.models import recovery
     from dct_tpu.utils import image_io
 
     data = open(args.input, "rb").read()
+    out = args.output or args.input
+    if data[:4] == cont.VIDEO_MAGIC:  # .tpdv: repair frame by frame
+        src = np.load(args.source)  # u8 (F, H, W[, 3]) source stack
+        streams = cont.deserialize_streams(data)
+        if len(src) != len(streams):
+            raise SystemExit(
+                f"source has {len(src)} frames, stream file {len(streams)}"
+            )
+        bad = {
+            i: b for i, s in enumerate(streams) if (b := recovery.verify(s))
+        }
+        if not bad:
+            print(f"{args.input}: nothing to repair")
+            return 0
+        for i, b in bad.items():
+            streams[i] = recovery.repair(streams[i], src[i], stripes=b)
+        with open(out, "wb") as f:
+            f.write(cont.serialize_streams(streams))
+        print(f"{args.input}: re-encoded frames {bad} -> {out}")
+        return 0
     src = image_io.read_image(args.source)
     bad = recovery.verify(data)
     if not bad:
         print(f"{args.input}: nothing to repair")
         return 0
     fixed = recovery.repair(data, src, stripes=bad)
-    out = args.output or args.input
     with open(out, "wb") as f:
         f.write(fixed)
     print(f"{args.input}: re-encoded stripes {bad} -> {out}")

@@ -156,3 +156,26 @@ def test_verify_video_stream(tmp_path, capsys):
     bad.write_bytes(bytes(raw))
     assert cli.main(["verify", str(bad)]) == 1
     assert "CORRUPT frames" in capsys.readouterr().out
+
+
+def test_repair_video_stream(tmp_path, capsys):
+    from dct_tpu import container as cont
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(32, 40, "photo", seed=7)
+    frames = np.stack([base, base[::-1], np.roll(base, 5, 1)])
+    src = tmp_path / "src.npy"
+    np.save(src, frames)
+    streams = VideoCodec(CodecConfig(quality=55)).encode(frames)
+    pristine = cont.serialize_streams(streams)
+
+    raw = bytearray(pristine)
+    raw[-14:-6] = b"\x5c" * 8  # clobber the last frame's tail
+    bad = tmp_path / "bad.tpdv"
+    bad.write_bytes(bytes(raw))
+    fixed = tmp_path / "fixed.tpdv"
+    assert cli.main(["repair", str(bad), str(src), "-o", str(fixed)]) == 0
+    assert fixed.read_bytes() == pristine  # byte-identical to pristine
+    assert cli.main(["verify", str(fixed)]) == 0
