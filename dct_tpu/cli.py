@@ -98,9 +98,26 @@ def cmd_decode(args) -> int:
 def cmd_info(args) -> int:
     from dct_tpu import container as cont
 
-    c = cont.deserialize(open(args.input, "rb").read())
+    data = open(args.input, "rb").read()
+    if data[:4] == cont.VIDEO_MAGIC:  # .tpdv: stream summary + frame 0
+        streams = cont.deserialize_streams(data)
+        c0 = cont.deserialize(streams[0])
+        info = {
+            "stream_file": True,
+            "frames": len(streams),
+            "total_bytes": len(data),
+            "frame_bytes": [len(s) for s in streams],
+            "width": c0.width,
+            "height": c0.height,
+            "quality": c0.config.quality,
+            "chroma": c0.config.chroma,
+        }
+        print(json.dumps(info, indent=2))
+        return 0
+    c = cont.deserialize(data)
     cfg = c.config
     info = {
+        "stream_file": False,
         "width": c.width,
         "height": c.height,
         "block_size": cfg.block_size,

@@ -179,3 +179,23 @@ def test_repair_video_stream(tmp_path, capsys):
     assert cli.main(["repair", str(bad), str(src), "-o", str(fixed)]) == 0
     assert fixed.read_bytes() == pristine  # byte-identical to pristine
     assert cli.main(["verify", str(fixed)]) == 0
+
+
+def test_info_video_stream(tmp_path, capsys):
+    import json as _json
+
+    from dct_tpu import container as cont
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(24, 32, "photo", seed=8)
+    streams = VideoCodec(CodecConfig(quality=45)).encode(
+        np.stack([base, base[::-1]])
+    )
+    out = tmp_path / "v.tpdv"
+    out.write_bytes(cont.serialize_streams(streams))
+    assert cli.main(["info", str(out)]) == 0
+    info = _json.loads(capsys.readouterr().out)
+    assert info["stream_file"] and info["frames"] == 2
+    assert info["quality"] == 45 and info["width"] == 32
