@@ -63,8 +63,16 @@ def _table(p: cont.PlaneData, cfg: CodecConfig):
 
 
 def _verify_plane(p: cont.PlaneData, cfg: CodecConfig) -> list[int]:
+    from dct_tpu import native
+
     _, _, n_stripes, bps = _geometry(p, cfg)
     mode, table, run_table = _table(p, cfg)
+    if native.available():
+        status = native.verify_stripes(
+            p.stripes, bps, cfg.n2, mode, table, p.vmin,
+            np.asarray(p.stripe_bits, np.uint32), run_table=run_table,
+        )
+        return [int(s) for s in np.nonzero(status)[0]]
     bad = []
     for s in range(n_stripes):
         try:

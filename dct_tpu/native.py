@@ -43,7 +43,9 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if _build_failed:
         return None
-    if not _LIB_PATH.exists() and not _build():
+    # always run make: it is a no-op when fresh and rebuilds a stale .so
+    # (e.g. one predating a newly added entry point)
+    if not _build() and not _LIB_PATH.exists():
         _build_failed = True
         return None
     lib = ctypes.CDLL(str(_LIB_PATH))
@@ -66,6 +68,24 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,     # n_threads
     ]
     lib.dctbits_unpack_stripes.restype = ctypes.c_int
+    lib.dctbits_verify_stripes.argtypes = [
+        u8p,              # concatenated stripe bytes
+        ctypes.POINTER(ctypes.c_uint64),  # per-stripe byte offsets (n+1)
+        ctypes.c_int,     # n_stripes
+        ctypes.c_int,     # blocks per stripe
+        ctypes.c_int,     # n2
+        ctypes.c_int,     # mode id
+        u8p,              # table lengths
+        ctypes.c_int,     # table size
+        u8p,              # run-table lengths
+        ctypes.c_int,     # run-table size
+        ctypes.c_int,     # vmin
+        u32p,             # expected bits per stripe
+        i32p,             # status out (0 ok / 2 bad symbol / 3 overrun /
+                          # 4 bit-count mismatch)
+        ctypes.c_int,     # n_threads
+    ]
+    lib.dctbits_verify_stripes.restype = ctypes.c_int
     lib.dctbits_pack_block_symbols.argtypes = [
         i32p, i32p, ctypes.c_int,  # values, runs, count
         ctypes.c_int,              # mode id
@@ -136,3 +156,62 @@ def unpack_stripes(
     if rc != 0:
         raise ValueError(f"native stripe decode failed with code {rc}")
     return out
+
+
+def verify_stripes(
+    stripes: list[bytes],
+    blocks_per_stripe: int,
+    n2: int,
+    mode: str,
+    table,
+    vmin: int,
+    expected_bits: np.ndarray,
+    run_table=None,
+    n_threads: int | None = None,
+) -> np.ndarray:
+    """Integrity-scan stripe substreams -> (n_stripes,) int32 status.
+
+    0 = ok; 2 = invalid symbol; 3 = overrun; 4 = decode consumed a bit
+    count different from the container's record. Same contract as the
+    Python scan in models/recovery.py, on the C++ LUT decoder's thread
+    pool."""
+    import os
+
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib = _load()
+    n_stripes = len(stripes)
+    blob = b"".join(stripes)
+    offsets = np.zeros(n_stripes + 1, np.uint64)
+    np.cumsum([len(s) for s in stripes], out=offsets[1:])
+    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    if table is not None:
+        lengths = np.ascontiguousarray(table.lengths, np.uint8)
+    else:
+        lengths = np.zeros(1, np.uint8)
+    if run_table is not None:
+        run_lengths = np.ascontiguousarray(run_table.lengths, np.uint8)
+        run_size = len(run_lengths)
+    else:
+        run_lengths = np.zeros(1, np.uint8)
+        run_size = 0
+    exp = np.ascontiguousarray(expected_bits, np.uint32)
+    status = np.zeros(n_stripes, np.int32)
+    lib.dctbits_verify_stripes(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        n_stripes,
+        blocks_per_stripe,
+        n2,
+        _MODE_IDS[mode],
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(lengths),
+        run_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        run_size,
+        vmin,
+        exp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    return status

@@ -8,6 +8,7 @@
 // dct_tpu/container.py; behavior must match the Python reference
 // implementations byte-for-byte (asserted in tests/test_entropy_stage.py).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <thread>
@@ -155,7 +156,8 @@ inline int32_t value_from_category(int cat, uint32_t extra) {
 void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
                        int mode, const CanonicalTable* table, int vmin,
                        int n_alpha, const CanonicalTable* run_table,
-                       int32_t* out, int* err) {
+                       int32_t* out, int* err,
+                       uint64_t* consumed_bits = nullptr) {
   BitReader r{data, nbytes};
   // With the reference-convention fixed 8-bit run field, one peek64 covers
   // the whole symbol (code <=16b + payload <=16b + run 8b). With a coded
@@ -213,6 +215,7 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
     }
     if (!r.ok()) { *err = 3; return; }
   }
+  if (consumed_bits) *consumed_bits = r.pos;
 }
 
 }  // namespace
@@ -256,6 +259,52 @@ int dctbits_unpack_stripes(const uint8_t* blob, const uint64_t* offsets,
   }
   for (int s = 0; s < n_stripes; ++s)
     if (errs[s]) return errs[s];
+  return 0;
+}
+
+// Integrity scan: decode each stripe into thread-local scratch and report a
+// per-stripe status (0 ok; 2 bad symbol; 3 overrun; 4 consumed-bit count
+// differs from the container's record). Mirrors models/recovery.py's
+// Python scan — the container records each stripe's exact bit length, so
+// byte damage almost surely desynchronizes the position-invariant decoder.
+int dctbits_verify_stripes(const uint8_t* blob, const uint64_t* offsets,
+                           int n_stripes, int bps, int n2, int mode,
+                           const uint8_t* table_lengths, int table_size,
+                           const uint8_t* run_lengths, int run_table_size,
+                           int vmin, const uint32_t* expected_bits,
+                           int32_t* status_out, int n_threads) {
+  CanonicalTable table;
+  int n_alpha = table_size - 1;
+  if (mode != kNone) table.build(table_lengths, table_size);
+  CanonicalTable run_table;
+  if (run_table_size > 0) run_table.build(run_lengths, run_table_size);
+  const CanonicalTable* run_ptr = run_table_size > 0 ? &run_table : nullptr;
+
+  auto work = [&](int lo, int hi) {
+    std::vector<int32_t> scratch((size_t)bps * n2);
+    for (int s = lo; s < hi; ++s) {
+      std::fill(scratch.begin(), scratch.end(), 0);
+      int err = 0;
+      uint64_t consumed = 0;
+      decode_one_stripe(blob + offsets[s], offsets[s + 1] - offsets[s], bps,
+                        n2, mode, &table, vmin, n_alpha, run_ptr,
+                        scratch.data(), &err, &consumed);
+      if (!err && consumed != (uint64_t)expected_bits[s]) err = 4;
+      status_out[s] = err;
+    }
+  };
+  if (n_threads <= 1 || n_stripes <= 1) {
+    work(0, n_stripes);
+  } else {
+    int t = std::min(n_threads, n_stripes);
+    std::vector<std::thread> pool;
+    int per = (n_stripes + t - 1) / t;
+    for (int i = 0; i < t; ++i) {
+      int lo = i * per, hi = std::min(n_stripes, lo + per);
+      if (lo < hi) pool.emplace_back(work, lo, hi);
+    }
+    for (auto& th : pool) th.join();
+  }
   return 0;
 }
 

@@ -192,3 +192,46 @@ def test_color_decode_region_matches_full(rgb, chroma):
     for row0, row1 in [(0, 16), (13, 57), (101, 119), (0, rgb.shape[0])]:
         region = recovery.decode_region(data, row0, row1)
         np.testing.assert_array_equal(region, full[row0:row1])
+
+
+@pytest.mark.parametrize("coded_runs", [False, True])
+def test_native_and_python_verify_agree(image, coded_runs):
+    """The C++ integrity scan must flag exactly the stripes the Python
+    reference scan flags (clean, corrupted, and bit-count-mismatch cases)."""
+    from dct_tpu import container as cont
+    from dct_tpu import native
+    from dct_tpu.ops import bitstream as bs
+
+    if not native.available():
+        pytest.skip("native decoder unavailable")
+
+    cfg = CodecConfig(quality=55, coded_runs=coded_runs, stripe_rows=1)
+    data = codec.ImageCodec(cfg).encode(image)
+    variants = [data]
+    for stripe in (0, 4, 9):
+        variants.append(_corrupt_stripe(data, image, cfg, stripe))
+
+    for v in variants:
+        c = cont.deserialize(v)
+        p = c.planes[0]
+        _, _, n_stripes, bps = recovery._geometry(p, cfg)
+        mode, table, run_table = recovery._table(p, cfg)
+        status = native.verify_stripes(
+            p.stripes, bps, cfg.n2, mode, table, p.vmin,
+            np.asarray(p.stripe_bits, np.uint32), run_table=run_table,
+        )
+        nat = [int(s) for s in np.nonzero(status)[0]]
+        py = []
+        for s in range(n_stripes):
+            try:
+                bs.unpack_stripe_host(
+                    p.stripes[s], bps, cfg.n2, mode,
+                    cat_table=table if mode == "category" else None,
+                    val_table=table if mode == "direct" else None,
+                    vmin=p.vmin,
+                    expected_bits=int(p.stripe_bits[s]),
+                    run_table=run_table,
+                )
+            except (ValueError, IndexError):
+                py.append(s)
+        assert nat == py
