@@ -101,6 +101,9 @@ def cmd_info(args) -> int:
     data = open(args.input, "rb").read()
     if data[:4] == cont.VIDEO_MAGIC:  # .tpdv: stream summary + frame 0
         streams = cont.deserialize_streams(data)
+        if not streams:
+            print(json.dumps({"stream_file": True, "frames": 0}))
+            return 0
         c0 = cont.deserialize(streams[0])
         info = {
             "stream_file": True,
@@ -165,11 +168,15 @@ def cmd_verify(args) -> int:
 
     data = open(args.input, "rb").read()
     if data[:4] == cont.VIDEO_MAGIC:  # .tpdv: scan every frame
-        bad = {
-            i: b
-            for i, s in enumerate(cont.deserialize_streams(data))
-            if (b := recovery.verify(s))
-        }
+        bad = {}
+        for i, s in enumerate(cont.deserialize_streams(data)):
+            try:
+                b = recovery.verify(s)
+            except (ValueError, IndexError):
+                # header/table damage: the frame cannot even be parsed
+                b = "unreadable"
+            if b:
+                bad[i] = b
         if bad:
             print(f"{args.input}: CORRUPT frames {bad}")
             return 1
@@ -197,14 +204,32 @@ def cmd_repair(args) -> int:
             raise SystemExit(
                 f"source has {len(src)} frames, stream file {len(streams)}"
             )
-        bad = {
-            i: b for i, s in enumerate(streams) if (b := recovery.verify(s))
-        }
+        bad = {}
+        for i, s in enumerate(streams):
+            try:
+                bad_stripes = recovery.verify(s)
+            except (ValueError, IndexError):
+                bad_stripes = "unreadable"
+            if bad_stripes:
+                bad[i] = bad_stripes
         if not bad:
             print(f"{args.input}: nothing to repair")
             return 0
+        template = next(
+            (streams[i] for i in range(len(streams)) if i not in bad), None
+        )
         for i, b in bad.items():
-            streams[i] = recovery.repair(streams[i], src[i], stripes=b)
+            if b == "unreadable":
+                # frame header/tables destroyed: rebuild every stripe
+                # against a readable sibling's tables (batch frames share
+                # them, so the result matches the lost original)
+                if template is None:
+                    raise SystemExit(
+                        f"{args.input}: no intact frame to take tables from"
+                    )
+                streams[i] = recovery.rebuild(template, src[i])
+            else:
+                streams[i] = recovery.repair(streams[i], src[i], stripes=b)
         with open(out, "wb") as f:
             f.write(cont.serialize_streams(streams))
         print(f"{args.input}: re-encoded frames {bad} -> {out}")
@@ -291,6 +316,8 @@ def cmd_decode_video(args) -> int:
     from dct_tpu.models.video import VideoCodec
 
     streams = cont.deserialize_streams(open(args.input, "rb").read())
+    if not streams:
+        raise SystemExit(f"{args.input}: stream file contains no frames")
     cfg = cont.deserialize(streams[0]).config
     frames = VideoCodec(cfg).decode(streams)
     np.save(args.output, frames)

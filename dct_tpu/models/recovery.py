@@ -269,6 +269,27 @@ def repair(
     )
 
 
+def rebuild(template: bytes, source: np.ndarray) -> bytes:
+    """Re-encode EVERY stripe of `source` against a template container's
+    config and entropy tables.
+
+    The repair story for a frame whose own header/tables were destroyed:
+    in a batch (video stream file) every frame carries the same tables, so
+    a readable sibling frame serves as the template and the rebuilt frame
+    is byte-identical to the lost original."""
+    c = cont.deserialize(template)
+    if _is_gray(c):
+        _, _, n_stripes, _ = _geometry(c.planes[0], c.config)
+        all_stripes: list = list(range(n_stripes))
+    else:
+        all_stripes = [
+            (pi, s)
+            for pi, p in enumerate(c.planes)
+            for s in range(len(p.stripes))
+        ]
+    return repair(template, source, stripes=all_stripes)
+
+
 def decode_region(data: bytes, row0: int, row1: int) -> np.ndarray:
     """Decode only pixel rows [row0, row1) — entropy-decodes just the
     stripes overlapping the range (random access / parallel consumers).

@@ -113,8 +113,13 @@ def _encode_plane_batch(
             _, _, h_, rh_ = _analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
             )
-            hist = np.asarray(h_) + (0 if hist is None else hist)
-            run_hist = np.asarray(rh_) + (0 if run_hist is None else run_hist)
+            # accumulate in int64: device histograms are int32 and a bin
+            # can exceed 2^31 counts across a very long stack
+            hist = np.asarray(h_, np.int64) + (0 if hist is None else hist)
+            run_hist = (
+                np.asarray(rh_, np.int64)
+                + (0 if run_hist is None else run_hist)
+            )
         table = _codec._build_table(cfg, hist)
         run_table = _codec._build_run_table(cfg, run_hist)
         lengths, codes = _codec._table_arrays(table)
@@ -123,15 +128,15 @@ def _encode_plane_batch(
         )
         symbols_once = None
 
-    var_list: list = []
     out: list[cont.PlaneData] = []
     for i0 in range(0, f, chunk):
-        imgs = prep(planes[i0 : i0 + chunk])
         if cfg.static_tables:
             packed, var_codes = jax.vmap(
                 lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
-            )(imgs)
+            )(prep(planes[i0 : i0 + chunk]))
         elif symbols_once is not None:
+            # symbols already computed by the single-chunk analyze above —
+            # no second pad/upload of the stack
             packed = _pack_batch(
                 symbols_once, cfg, n_stripes, lengths, codes,
                 run_lengths, run_codes,
@@ -143,9 +148,11 @@ def _encode_plane_batch(
                     im, cfg, n_stripes, lengths, codes, chroma,
                     run_lengths, run_codes,
                 )
-            )(imgs)
+            )(prep(planes[i0 : i0 + chunk]))
         else:
-            symbols, var_codes, _, _ = _analyze_batch(imgs, cfg, chroma=chroma)
+            symbols, var_codes, _, _ = _analyze_batch(
+                prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
+            )
             packed = _pack_batch(
                 symbols, cfg, n_stripes, lengths, codes,
                 run_lengths, run_codes,
@@ -266,9 +273,9 @@ class VideoCodec:
 
         # symmetric with encode: decode long stacks in frame chunks so the
         # coefficient grids + f32 intermediates stay in bounded memory
-        ck = self.chunk_frames or max(
+        ck = max(1, self.chunk_frames or max(
             1, CHUNK_PIXEL_BUDGET // (c0.height * c0.width)
-        )
+        ))
         if len(conts) > ck:
             return jnp.concatenate([
                 self._decode_cont_batch(conts[i0 : i0 + ck], cfg)

@@ -48,7 +48,18 @@ def _load() -> Optional[ctypes.CDLL]:
     if not _build() and not _LIB_PATH.exists():
         _build_failed = True
         return None
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
+    except (OSError, AttributeError):
+        # unloadable, or a stale prebuilt .so missing a newer entry point
+        # that make could not rebuild: fall back to the Python paths
+        _build_failed = True
+        return None
+    _lib = lib
+    return lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -94,12 +105,32 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p, ctypes.c_uint64,      # out buffer, capacity bytes
     ]
     lib.dctbits_pack_block_symbols.restype = ctypes.c_int64
-    _lib = lib
     return lib
 
 
 def available() -> bool:
     return _load() is not None
+
+
+def _marshal_stripes(stripes: list[bytes], table, run_table):
+    """Shared ctypes marshalling for the stripe-array entry points."""
+    n_stripes = len(stripes)
+    blob = b"".join(stripes)
+    offsets = np.zeros(n_stripes + 1, np.uint64)
+    np.cumsum([len(s) for s in stripes], out=offsets[1:])
+    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
+    buf = np.ascontiguousarray(buf)
+    if table is not None:
+        lengths = np.ascontiguousarray(table.lengths, np.uint8)
+    else:
+        lengths = np.zeros(1, np.uint8)
+    if run_table is not None:
+        run_lengths = np.ascontiguousarray(run_table.lengths, np.uint8)
+        run_size = len(run_lengths)
+    else:
+        run_lengths = np.zeros(1, np.uint8)
+        run_size = 0
+    return n_stripes, buf, offsets, lengths, run_lengths, run_size
 
 
 def unpack_stripes(
@@ -121,22 +152,9 @@ def unpack_stripes(
     if n_threads is None:
         n_threads = os.cpu_count() or 1
     lib = _load()
-    n_stripes = len(stripes)
-    blob = b"".join(stripes)
-    offsets = np.zeros(n_stripes + 1, np.uint64)
-    np.cumsum([len(s) for s in stripes], out=offsets[1:])
-    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
-    buf = np.ascontiguousarray(buf)
-    if table is not None:
-        lengths = np.ascontiguousarray(table.lengths, np.uint8)
-    else:
-        lengths = np.zeros(1, np.uint8)
-    if run_table is not None:
-        run_lengths = np.ascontiguousarray(run_table.lengths, np.uint8)
-        run_size = len(run_lengths)
-    else:
-        run_lengths = np.zeros(1, np.uint8)
-        run_size = 0
+    n_stripes, buf, offsets, lengths, run_lengths, run_size = (
+        _marshal_stripes(stripes, table, run_table)
+    )
     out = np.zeros((n_stripes * blocks_per_stripe, n2), np.int32)
     rc = lib.dctbits_unpack_stripes(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -180,22 +198,9 @@ def verify_stripes(
     if n_threads is None:
         n_threads = os.cpu_count() or 1
     lib = _load()
-    n_stripes = len(stripes)
-    blob = b"".join(stripes)
-    offsets = np.zeros(n_stripes + 1, np.uint64)
-    np.cumsum([len(s) for s in stripes], out=offsets[1:])
-    buf = np.frombuffer(blob, np.uint8) if blob else np.zeros(1, np.uint8)
-    buf = np.ascontiguousarray(buf)
-    if table is not None:
-        lengths = np.ascontiguousarray(table.lengths, np.uint8)
-    else:
-        lengths = np.zeros(1, np.uint8)
-    if run_table is not None:
-        run_lengths = np.ascontiguousarray(run_table.lengths, np.uint8)
-        run_size = len(run_lengths)
-    else:
-        run_lengths = np.zeros(1, np.uint8)
-        run_size = 0
+    n_stripes, buf, offsets, lengths, run_lengths, run_size = (
+        _marshal_stripes(stripes, table, run_table)
+    )
     exp = np.ascontiguousarray(expected_bits, np.uint32)
     status = np.zeros(n_stripes, np.int32)
     lib.dctbits_verify_stripes(

@@ -218,6 +218,23 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
   if (consumed_bits) *consumed_bits = r.pos;
 }
 
+// Run work(lo, hi) over [0, n) on up to n_threads workers.
+template <typename F>
+void run_parallel(const F& work, int n, int n_threads) {
+  if (n_threads <= 1 || n <= 1) {
+    work(0, n);
+    return;
+  }
+  int t = std::min(n_threads, n);
+  std::vector<std::thread> pool;
+  int per = (n + t - 1) / t;
+  for (int i = 0; i < t; ++i) {
+    int lo = i * per, hi = std::min(n, lo + per);
+    if (lo < hi) pool.emplace_back(work, lo, hi);
+  }
+  for (auto& th : pool) th.join();
+}
+
 }  // namespace
 
 extern "C" {
@@ -245,18 +262,7 @@ int dctbits_unpack_stripes(const uint8_t* blob, const uint64_t* offsets,
                         out + (int64_t)s * bps * n2, &errs[s]);
     }
   };
-  if (n_threads <= 1 || n_stripes <= 1) {
-    work(0, n_stripes);
-  } else {
-    int t = std::min(n_threads, n_stripes);
-    std::vector<std::thread> pool;
-    int per = (n_stripes + t - 1) / t;
-    for (int i = 0; i < t; ++i) {
-      int lo = i * per, hi = std::min(n_stripes, lo + per);
-      if (lo < hi) pool.emplace_back(work, lo, hi);
-    }
-    for (auto& th : pool) th.join();
-  }
+  run_parallel(work, n_stripes, n_threads);
   for (int s = 0; s < n_stripes; ++s)
     if (errs[s]) return errs[s];
   return 0;
@@ -293,18 +299,7 @@ int dctbits_verify_stripes(const uint8_t* blob, const uint64_t* offsets,
       status_out[s] = err;
     }
   };
-  if (n_threads <= 1 || n_stripes <= 1) {
-    work(0, n_stripes);
-  } else {
-    int t = std::min(n_threads, n_stripes);
-    std::vector<std::thread> pool;
-    int per = (n_stripes + t - 1) / t;
-    for (int i = 0; i < t; ++i) {
-      int lo = i * per, hi = std::min(n_stripes, lo + per);
-      if (lo < hi) pool.emplace_back(work, lo, hi);
-    }
-    for (auto& th : pool) th.join();
-  }
+  run_parallel(work, n_stripes, n_threads);
   return 0;
 }
 

@@ -199,3 +199,47 @@ def test_info_video_stream(tmp_path, capsys):
     info = _json.loads(capsys.readouterr().out)
     assert info["stream_file"] and info["frames"] == 2
     assert info["quality"] == 45 and info["width"] == 32
+
+
+def test_repair_video_unreadable_frame(tmp_path, capsys):
+    """Header-destroying damage: the frame can't even deserialize; repair
+    rebuilds it against a sibling frame's (batch-shared) tables,
+    byte-identical to pristine."""
+    from dct_tpu import container as cont
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.models.video import VideoCodec
+    from dct_tpu.utils import image_io
+
+    base = image_io.synthetic_image(32, 40, "photo", seed=9)
+    frames = np.stack([base, base[::-1], np.roll(base, 3, 1)])
+    src = tmp_path / "src.npy"
+    np.save(src, frames)
+    streams = VideoCodec(CodecConfig(quality=55, adaptive=True)).encode(frames)
+    pristine = cont.serialize_streams(streams)
+
+    # destroy frame 1's TPDC magic (the 4 bytes after the sizes table +
+    # frame 0's payload)
+    raw = bytearray(pristine)
+    off = 8 + 4 * len(streams) + len(streams[0])
+    raw[off : off + 4] = b"XXXX"
+    bad = tmp_path / "bad.tpdv"
+    bad.write_bytes(bytes(raw))
+
+    assert cli.main(["verify", str(bad)]) == 1
+    assert "unreadable" in capsys.readouterr().out
+
+    fixed = tmp_path / "fixed.tpdv"
+    assert cli.main(["repair", str(bad), str(src), "-o", str(fixed)]) == 0
+    assert fixed.read_bytes() == pristine
+    assert cli.main(["verify", str(fixed)]) == 0
+
+
+def test_empty_tpdv_handled(tmp_path, capsys):
+    from dct_tpu import container as cont
+
+    empty = tmp_path / "e.tpdv"
+    empty.write_bytes(cont.serialize_streams([]))
+    assert cli.main(["info", str(empty)]) == 0
+    assert '"frames": 0' in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        cli.main(["decode-video", str(empty), str(tmp_path / "o.npy")])
