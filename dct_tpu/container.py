@@ -66,7 +66,9 @@ class PlaneData:
     variance_codes: np.ndarray | None  # (bh*bw,) u8, adaptive only
     stripe_bits: np.ndarray  # (n_stripes,) u32
     stripes: list[bytes]
-    run_table_lengths: np.ndarray | None = None  # coded_runs only, 64 x u8
+    run_table_lengths: np.ndarray | None = None  # coded_runs only, 65 x u8
+    # (canonical code length for each run 0..64 — 64 is the all-zero-block
+    # terminal symbol, see ops/rle.py)
 
 
 @dataclasses.dataclass
@@ -109,14 +111,24 @@ def serialize(c: Container) -> bytes:
         out += struct.pack("<III", p.width, p.height, len(p.stripes))
         mode = cfg.huffman_mode if cfg.use_huffman else "none"
         if mode == "category":
-            assert len(p.table_lengths) == 16
+            # wire-format invariants raise (not assert): `python -O` strips
+            # asserts and would silently serialize an undecodable container
+            if len(p.table_lengths) != 16:
+                raise ValueError(
+                    f"category table must have 16 lengths, got "
+                    f"{len(p.table_lengths)}"
+                )
             out += bytes(np.asarray(p.table_lengths, np.uint8))
         elif mode == "direct":
             lengths = np.asarray(p.table_lengths, np.uint8)
             out += struct.pack("<iH", p.vmin, len(lengths) - 1)
             out += bytes(lengths)
         if cfg.coded_runs:
-            assert len(p.run_table_lengths) == 65
+            if len(p.run_table_lengths) != 65:
+                raise ValueError(
+                    f"run table must have 65 lengths (runs 0..64), got "
+                    f"{len(p.run_table_lengths)}"
+                )
             out += bytes(np.asarray(p.run_table_lengths, np.uint8))
         if cfg.adaptive:
             out += bytes(np.asarray(p.variance_codes, np.uint8))
@@ -162,6 +174,12 @@ def _deserialize(data: bytes) -> Container:
         raise ValueError(f"invalid huffman mode index {huffman_idx}")
     if chroma_idx >= len(_CHROMA_MODES):
         raise ValueError(f"invalid chroma mode index {chroma_idx}")
+    expected_planes = 1 if _CHROMA_MODES[chroma_idx] == "gray" else 3
+    if n_planes != expected_planes:
+        raise ValueError(
+            f"chroma mode {_CHROMA_MODES[chroma_idx]!r} requires "
+            f"{expected_planes} planes, header says {n_planes}"
+        )
     cfg = CodecConfig(
         block_size=block_size,
         quality=quality,

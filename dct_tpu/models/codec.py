@@ -188,7 +188,7 @@ def _build_run_table(
         return None
     if cfg.static_tables or run_hist is None:
         return hf.default_run_table()
-    # +1 smoothing: every run 0..63 must stay encodable even if absent
+    # +1 smoothing: every run 0..64 must stay encodable even if absent
     # from this image (repair re-encodes stripes against the stored table)
     return hf.CanonicalTable.from_frequencies(
         np.asarray(run_hist, np.int64) + 1, max_len=hf.RUN_MAX_CODE_LEN

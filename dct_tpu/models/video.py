@@ -247,6 +247,8 @@ class VideoCodec:
         type for the whole stack, leaving u8 frames on device — the
         data-loading path for on-chip consumers (decoded frames feeding a
         model)."""
+        if not streams:
+            raise ValueError("decode requires at least one stream")
         conts = [cont.deserialize(s) for s in streams]
         c0 = conts[0]
         cfg = c0.config
