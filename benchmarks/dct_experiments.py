@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Controlled experiments dissecting the fused DCT kernel's roofline gap.
+
+Round-1 measured the production kernel (f32 HIGHEST = 6 MXU passes) at
+~1/3 of its analytic ceiling with no breakdown of where the budget goes.
+This harness times kernel VARIANTS that each remove one cost component:
+
+  highest   - production kernel (f32 HIGHEST matmul + full epilogue)
+  default   - f32 DEFAULT matmul (1 truncated-bf16 pass; accuracy-wrong,
+              pure perf signal for the MXU-pass count)
+  split3    - x as exact bf16 (u8 always fits: <= 255 needs 8 mantissa
+              bits) against a 3-way bf16 split of the operator
+              M = M0 + M1 + M2 -> THREE default-precision passes with the
+              same ~24-bit operator mantissa HIGHEST reconstructs with SIX
+              (HIGHEST must split BOTH operands 3x; we know x needs none)
+  split2    - 2-way split (16-bit operator mantissa; accuracy probe)
+  noepi     - HIGHEST matmul, epilogue reduced to a truncating cast
+              (isolates the round-half-away + select cost)
+  copy      - no matmul at all: widen u8 -> int16 store (VPU+DMA floor)
+
+Timing: K-loop delta on device (bench.py method). Run on the real TPU.
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mpix", type=float, default=33.4)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--k", type=int, default=33)
+    ap.add_argument("--only", type=str, default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.ops import transform_pallas as tpk
+
+    cfg = CodecConfig(quality=50, use_pallas=True)
+    TILE = tpk.TILE_ROWS
+    m2, b2 = tpk._packed_encode_operator(cfg)
+    m64, b64 = np.asarray(m2, np.float64), np.asarray(b2, np.float64)
+
+    def split(m, k):
+        parts = []
+        rem = np.asarray(m, np.float32)
+        for _ in range(k):
+            p = rem.astype(np.float16) if False else rem.astype(jnp.bfloat16)
+            parts.append(np.asarray(p))
+            rem = rem - np.asarray(p, np.float32)
+        return parts
+
+    msplit = split(m2, 3)
+
+    def _half(y):
+        return jnp.where(y >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+
+    def k_highest(x_ref, m_ref, b_ref, o_ref):
+        x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+        y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+        o_ref[:] = (y + _half(y)).astype(jnp.int16)
+
+    def k_default(x_ref, m_ref, b_ref, o_ref):
+        x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+        y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + b_ref[:]
+        o_ref[:] = (y + _half(y)).astype(jnp.int16)
+
+    def k_split(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref, *, terms):
+        xb = x_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        y = jnp.dot(xb, m0_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xb, m1_ref[:], preferred_element_type=jnp.float32)
+        if terms == 3:
+            y = y + jnp.dot(xb, m2_ref[:], preferred_element_type=jnp.float32)
+        y = y + b_ref[:]
+        o_ref[:] = (y + _half(y)).astype(jnp.int16)
+
+    def k_noepi(x_ref, m_ref, b_ref, o_ref):
+        x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
+        y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+        o_ref[:] = y.astype(jnp.int16)
+
+    def k_copy(x_ref, m_ref, b_ref, o_ref):
+        o_ref[:] = x_ref[:].astype(jnp.int32).astype(jnp.int16)
+
+    def call(kernel, x, extra_ms=None):
+        rows = x.shape[0]
+        ms = [np.asarray(m2, np.float32)] if extra_ms is None else extra_ms
+        specs = [pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        for _ in ms:
+            specs.append(pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        specs.append(pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int16),
+            grid=(rows // TILE,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=jax.default_backend() != "tpu",
+        )(x, *[jnp.asarray(m) for m in ms], jnp.asarray(b2, np.float32))
+
+    variants = {
+        "highest": lambda x: call(k_highest, x),
+        "default": lambda x: call(k_default, x),
+        "split3": lambda x: call(functools.partial(k_split, terms=3), x, msplit),
+        "split2": lambda x: call(functools.partial(k_split, terms=2), x, msplit),
+        "noepi": lambda x: call(k_noepi, x),
+        "copy": lambda x: call(k_copy, x),
+    }
+
+    nb = int(args.mpix * 1e6 / 64)
+    nb = -(-nb // (2 * TILE)) * (2 * TILE)
+    rng = np.random.default_rng(0)
+    px_np = rng.integers(0, 256, (nb, 64)).astype(np.uint8)
+    rows = nb // 2
+    x = jnp.asarray(px_np.reshape(rows, 128))
+    pixels = nb * 64
+
+    # ---- accuracy vs float64 (small batch, on host) ----------------------
+    xs_rows = px_np[: 2 * TILE].reshape(TILE, 128).astype(np.float64)
+    y64 = xs_rows @ m64 + b64  # (TILE, 128) packed-row layout
+    q64 = np.sign(y64) * np.floor(np.abs(y64) + 0.5)
+    xsj = jnp.asarray(px_np[: 2 * TILE].reshape(TILE, 128))
+    print("accuracy vs f64 oracle (first %d blocks):" % (2 * TILE), flush=True)
+    acc_names = [n for n in ("highest", "default", "split3", "split2") if not args.only or n in args.only.split(",")]
+    for name in acc_names:
+        out = np.asarray(variants[name](xsj)).astype(np.int64)
+        diff = out - q64
+        bad = np.abs(diff) > 0
+        frac_half = np.abs(np.abs(y64) % 1.0 - 0.5)
+        near = frac_half[bad]
+        print(
+            f"  {name:8s} mismatch {bad.sum():5d}/{bad.size} "
+            f"max|d|={np.abs(diff).max():.0f} "
+            f"nearest-tie-dist={near.min() if bad.any() else float('nan'):.2e}", flush=True
+        )
+
+    # ---- throughput ------------------------------------------------------
+    def make(fn, k):
+        @jax.jit
+        def run(p):
+            def body(i, acc):
+                pi = p ^ (i & 255).astype(jnp.uint8)
+                zz = fn(pi)
+                return acc + jnp.sum(zz.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        return run
+
+    def timed(fn):
+        float(fn(x))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            float(fn(x))
+        return (time.perf_counter() - t0) / args.iters
+
+    K = args.k
+    print(f"\nthroughput ({pixels/1e6:.1f} Mpix, K={K}):", flush=True)
+    for name, fn in variants.items():
+        if args.only and name not in args.only.split(","):
+            continue
+        t1 = timed(make(fn, 1))
+        tk = timed(make(fn, K))
+        dt = (tk - t1) / (K - 1) if tk > t1 else t1
+        print(f"  {name:8s} {dt*1e3:7.3f} ms  {pixels/dt/1e9:7.2f} Gpix/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    _sys.exit(main())

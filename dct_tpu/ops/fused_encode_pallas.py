@@ -55,6 +55,11 @@ from dct_tpu.ops.bitstream import PackedStripes
 from dct_tpu.ops import transform_pallas as tpk
 
 ROW_SPAN = 512  # units: 312 worst-case row extent + 127 align slack, padded
+FAST_SPAN = 256  # tier-1 span: covers slack (<=127) + row extent <= 128
+                 # units (2048 bits/row, ~4.4x the q50 mean); stripes with a
+                 # longer row fall back to the ROW_SPAN loop (scalar
+                 # per-stripe branch — per-ROW branching is the measured
+                 # dead end, see CLAUDE.md)
 
 
 def _interpret() -> bool:
@@ -69,7 +74,8 @@ def _round_half_away_i32(x):
 
 
 def _fused_kernel(
-    len_ref, code_ref, rlen_ref, rcode_ref, px_ref, m_ref, b_ref, scale_ref,
+    len_ref, code_ref, rlen_ref, rcode_ref, px_ref, m0_ref, m1_ref, m2_ref,
+    b_ref, scale_ref,
     units_ref, bits_ref, scr_k, scr_d, scr_base,
     *, n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
     dc_prediction: bool,
@@ -80,7 +86,7 @@ def _fused_kernel(
     rlen_ref/rcode_ref: (1, 1, 65) i32 SMEM — canonical run-code table
                (cfg.coded_runs; stubs when the fixed 8-bit field is used)
     px_ref:    (1, R, 128) u8 — 2 blocks per row
-    m_ref:     (128, 128) f32; b_ref: (1, 128) f32
+    m0/m1/m2_ref: (128, 128) bf16 split operator parts; b_ref: (1, 128) f32
     scale_ref: (1, R, 2) f32 — adaptive quantize-divisor scale (ones if off)
     units_ref: (1, 1, U_pad) i32; bits_ref: (1, 1, 1) i32 SMEM
     scr_k:     (R, 128) i32 — per-symbol first unit index (off >> 4)
@@ -101,9 +107,11 @@ def _fused_kernel(
     live = block_idx < n_live_blocks
 
     # ---- 1. transform -----------------------------------------------------
+    # canonical split-operand matmul (transform.split_operand_matmul order)
+    from dct_tpu.ops import transform as _tf
+
     x = px_ref[0].astype(jnp.int32).astype(jnp.float32)
-    y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+    y = _tf.split_operand_matmul(x, m0_ref[:], m1_ref[:], m2_ref[:], b_ref[:])
     if adaptive:
         # scale_ref carries the RECIPROCAL adaptive scale, computed once in
         # XLA; one multiply + select keeps rounding bit-identical to the
@@ -215,47 +223,66 @@ def _fused_kernel(
             m >= 16, 0, jnp.where(m >= 0, left, jnp.where(-m >= 32, 0, right))
         )
 
-    scr_k[:] = off >> 4
+    kmat = off >> 4
+    scr_k[:] = kmat
     for j in range(4):
         d = digit(rv, nR, j)
         if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
             d = d | digit(T, nT, j)
         scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
         scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
-    scr_base[:] = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row
+    base_vec = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row (R, 1)
+    scr_base[:] = base_vec
+
+    # Per-stripe span tier: the widest row (align slack + extent, in units,
+    # +4 for the frame tail) decides which pack loop runs. FAST_SPAN halves
+    # the one-hot build, the MXU tiles, and the epilogue whenever every row
+    # fits — one SCALAR branch per stripe, so the hot loops stay branch-free.
+    span_need = jnp.max(jnp.max(kmat, axis=1, keepdims=True) + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
-    u = jax.lax.broadcasted_iota(jnp.int32, (128, ROW_SPAN), 1)
 
-    def one_row(r, planes, rr):
-        base = scr_base[r, 0]
-        ob = pl.multiple_of(base, 128)
-        k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
-        a = (k == u).astype(jnp.float32)  # one one-hot serves all 4 digits
-        w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
-        out = jnp.dot(
-            w, a, preferred_element_type=jnp.float32
-        )  # (8, ROW_SPAN): rows 2d/2d+1 = digit d hi/lo bytes
-        h = out[0:1] * 256.0 + out[1:2]
-        for j in range(1, 4):  # digit j lands j units after the symbol's i0
-            h = h + pltpu.roll(
-                out[2 * j : 2 * j + 1] * 256.0 + out[2 * j + 1 : 2 * j + 2],
-                j, axis=1,
-            )
-        cur = units_ref[0, :, pl.ds(ob, ROW_SPAN)]
-        units_ref[0, :, pl.ds(ob, ROW_SPAN)] = cur + h.astype(jnp.int32)
+    def pack_loop(span):
+        u = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
 
-    def body(r8, _):
-        # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous in
-        # scr_d: one (8,128) load per plane per 8-row group, row-selected
-        # by static slicing in registers (no per-row scratch staging)
-        planes = [scr_d[pl.ds(j * R + 8 * r8, 8), :] for j in range(8)]
-        for rr in range(8):  # R is a multiple of 8
-            one_row(8 * r8 + rr, planes, rr)
-        return 0
+        def one_row(r, planes, rr):
+            base = scr_base[r, 0]
+            ob = pl.multiple_of(base, 128)
+            k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
+            a = (k == u).astype(jnp.float32)  # one one-hot, all 4 digits
+            w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
+            out = jnp.dot(
+                w, a, preferred_element_type=jnp.float32
+            )  # (8, span): rows 2d/2d+1 = digit d hi/lo bytes
+            h = out[0:1] * 256.0 + out[1:2]
+            for j in range(1, 4):  # digit j lands j units after i0
+                h = h + pltpu.roll(
+                    out[2 * j : 2 * j + 1] * 256.0
+                    + out[2 * j + 1 : 2 * j + 2],
+                    j, axis=1,
+                )
+            cur = units_ref[0, :, pl.ds(ob, span)]
+            units_ref[0, :, pl.ds(ob, span)] = cur + h.astype(jnp.int32)
 
-    jax.lax.fori_loop(0, R // 8, body, 0)
+        def body(r8, _):
+            # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous
+            # in scr_d: one (8,128) load per plane per 8-row group,
+            # row-selected by static slicing in registers
+            planes = [scr_d[pl.ds(j * R + 8 * r8, 8), :] for j in range(8)]
+            for rr in range(8):  # R is a multiple of 8
+                one_row(8 * r8 + rr, planes, rr)
+            return 0
+
+        jax.lax.fori_loop(0, R // 8, body, 0)
+
+    @pl.when(span_need <= FAST_SPAN)
+    def _fast():
+        pack_loop(FAST_SPAN)
+
+    @pl.when(span_need > FAST_SPAN)
+    def _safe():
+        pack_loop(ROW_SPAN)
 
 
 def encode_stripes_fused(
@@ -303,7 +330,7 @@ def encode_stripes_fused(
     else:
         s = jnp.ones((n_stripes, R, 2), jnp.float32)
 
-    m2, b2 = tpk._packed_encode_operator(cfg, chroma=chroma)
+    em0, em1, em2, eb = tpk._packed_encode_operator_split(cfg, chroma=chroma)
     units_capacity = bps * bs.UNITS_PER_BLOCK_WORST
     U_pad = -(-(units_capacity + ROW_SPAN) // 128) * 128
 
@@ -336,6 +363,8 @@ def encode_stripes_fused(
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -355,11 +384,15 @@ def encode_stripes_fused(
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=n_stripes
-            * (2 * R * 128 * 128 * 6 + R * (2 * 8 * 128 * ROW_SPAN + 2 * 128 * ROW_SPAN)),
+            * (2 * R * 128 * 128 * 3 + R * (2 * 8 * 128 * ROW_SPAN + 2 * 128 * ROW_SPAN)),
             bytes_accessed=n_stripes * (R * 128 + U_pad * 4),
             transcendentals=0,
         ),
-    )(lens3, codes3, rlens3, rcodes3, px, jnp.asarray(m2), jnp.asarray(b2), s)
+    )(
+        lens3, codes3, rlens3, rcodes3, px,
+        jnp.asarray(em0), jnp.asarray(em1), jnp.asarray(em2),
+        jnp.asarray(eb), s,
+    )
     return PackedStripes(
         units=units[:, 0, :units_capacity].astype(jnp.uint16),
         bit_lengths=bits[:, 0, 0],

@@ -80,6 +80,22 @@ def level_unshift(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def split_operand_matmul(x, m0, m1, m2, b) -> jax.Array:
+    """The canonical split-operand encode matmul: f32 accumulation of three
+    default-precision bf16 passes (see tables.fused_encode_operator_split).
+
+    ``x`` must hold integer pixel values in [0, 255] (exact in bf16). The
+    left-associated sum order is load-bearing: XLA einsum, the
+    transform_pallas kernels, and the fused encode kernel all use THIS
+    function's formula so their rounded coefficients are bit-identical.
+    """
+    xb = x.astype(jnp.bfloat16)
+    y = jnp.dot(xb, jnp.asarray(m0), preferred_element_type=jnp.float32)
+    y = y + jnp.dot(xb, jnp.asarray(m1), preferred_element_type=jnp.float32)
+    y = y + jnp.dot(xb, jnp.asarray(m2), preferred_element_type=jnp.float32)
+    return y + jnp.asarray(b)
+
+
 def encode_blocks(
     pixels_flat: jax.Array,
     cfg: CodecConfig,
@@ -106,10 +122,16 @@ def encode_blocks(
     into ``round((x @ M + b) * s)`` where ``s`` is the per-block adaptive
     reciprocal scale (1 everywhere when not adaptive; never applied to DC,
     quantization.c:198-199).
+
+    The matmul is the split-operand form (tables.fused_encode_operator_split):
+    pixels are exact in bf16, the operator rides as three bf16 terms — half
+    the MXU passes of f32 HIGHEST at the same oracle-parity accuracy. The
+    sum order here is THE canonical one; the Pallas kernels replicate it
+    exactly (byte-identity contract).
     """
-    m, b = tables.fused_encode_operator(cfg, chroma=chroma)
-    x = pixels_flat.astype(m.dtype)
-    y = jnp.dot(x, jnp.asarray(m), precision=_PREC) + jnp.asarray(b)
+    y = split_operand_matmul(
+        pixels_flat, *tables.fused_encode_operator_split(cfg, chroma=chroma)
+    )
     if cfg.adaptive:
         if adaptive_scale is not None:
             s = adaptive_scale.astype(y.dtype)  # (B,) wire-exact scale

@@ -66,6 +66,25 @@ def _packed_encode_operator(cfg: CodecConfig, chroma: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
+def _packed_encode_operator_split(cfg: CodecConfig, chroma: bool = False):
+    """Block-diagonal bf16 split parts (three (128,128)) + (1,128) f32 bias.
+
+    Block-diagonalizing each split part == splitting the block-diagonal
+    operator (zeros are exact in bf16), so the packed kernel computes the
+    same canonical split_operand_matmul as the XLA einsum path.
+    """
+    parts_b = []
+    for part in tables.fused_encode_operator_split(cfg, chroma=chroma)[:3]:
+        n2 = part.shape[0]
+        p2 = np.zeros((2 * n2, 2 * n2), part.dtype)
+        p2[:n2, :n2] = part
+        p2[n2:, n2:] = part
+        parts_b.append(p2)
+    _, b2 = _packed_encode_operator(cfg, chroma=chroma)
+    return parts_b[0], parts_b[1], parts_b[2], np.asarray(b2, np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def _packed_decode_operator(cfg: CodecConfig, chroma: bool = False):
     m, b = tables.fused_decode_operator(cfg, chroma=chroma)
     n2 = m.shape[0]
@@ -94,18 +113,28 @@ def _expand_block_scale(s):
     return jnp.where(half == 0, s[:, 0:1], s[:, 1:2])
 
 
-def _encode_kernel(x_ref, m_ref, b_ref, o_ref):
-    # Mosaic has no direct u8->f32 cast; widen through int32 (free on VPU).
+def _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref):
+    """Canonical split-operand matmul inside Mosaic: u8 widens through
+    int32 (no direct u8->f32 cast) to f32 to bf16 — every step exact for
+    values <= 255 — then transform.split_operand_matmul's exact op order
+    (byte-identity contract with the XLA einsum path)."""
+    from dct_tpu.ops import transform
+
     x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
-    y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+    return transform.split_operand_matmul(
+        x, m0_ref[:], m1_ref[:], m2_ref[:], b_ref[:]
+    )
+
+
+def _encode_kernel(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
+    y = _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref)
     o_ref[:] = (y + _half(y)).astype(jnp.int16)
 
 
-def _encode_kernel_adaptive(x_ref, m_ref, b_ref, s_ref, mask_ref, o_ref):
-    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
-    y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST) + b_ref[:]
+def _encode_kernel_adaptive(
+    x_ref, m0_ref, m1_ref, m2_ref, b_ref, s_ref, mask_ref, o_ref
+):
+    y = _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref)
     # s_ref: (TILE_ROWS, 2) per-block RECIPROCAL adaptive scale, computed
     # once in XLA so every path shares the exact division result; applied
     # as one multiply + select (no add/mul chain a compiler could contract
@@ -172,9 +201,10 @@ def encode_blocks_pallas(
         )
         return out.astype(jnp.int16)
 
-    m2, b2 = _packed_encode_operator(cfg, chroma=chroma)
+    m0, m1, m2, b2 = _packed_encode_operator_split(cfg, chroma=chroma)
     x, B, rows = _pack_rows(pixels_flat)
     grid = (rows // TILE_ROWS,)
+    mspec = pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kwargs = dict(
         out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int16),
         grid=grid,
@@ -183,11 +213,12 @@ def encode_blocks_pallas(
         ),
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * rows * 128 * 128,
-            bytes_accessed=rows * 128 * (x.dtype.itemsize + 2) + 128 * 128 * 4,
+            flops=3 * 2 * rows * 128 * 128,
+            bytes_accessed=rows * 128 * (x.dtype.itemsize + 2) + 3 * 128 * 128 * 2,
             transcendentals=0,
         ),
     )
+    mats = (jnp.asarray(m0), jnp.asarray(m1), jnp.asarray(m2))
     if cfg.adaptive:
         if adaptive_scale is None:
             raise ValueError("adaptive encode requires adaptive_scale")
@@ -201,23 +232,23 @@ def encode_blocks_pallas(
             _encode_kernel_adaptive,
             in_specs=[
                 pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                mspec, mspec, mspec,
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             **kwargs,
-        )(x, jnp.asarray(m2), jnp.asarray(b2), s, jnp.asarray(_packed_ac_mask(n2)))
+        )(x, *mats, jnp.asarray(b2), s, jnp.asarray(_packed_ac_mask(n2)))
     else:
         out = pl.pallas_call(
             _encode_kernel,
             in_specs=[
                 pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                mspec, mspec, mspec,
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             **kwargs,
-        )(x, jnp.asarray(m2), jnp.asarray(b2))
+        )(x, *mats, jnp.asarray(b2))
     return out.reshape(rows * BLOCKS_PER_ROW, n2)[:B]
 
 

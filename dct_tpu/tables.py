@@ -205,6 +205,36 @@ def fused_encode_operator(cfg: CodecConfig, chroma: bool = False):
 
 
 @functools.lru_cache(maxsize=None)
+def fused_encode_operator_split(cfg: CodecConfig, chroma: bool = False):
+    """3-way bf16 split of the f32 encode operator: (m0, m1, m2, b_enc).
+
+    m0 + m1 + m2 reconstructs ~24 mantissa bits of M_enc — the same
+    effective operator precision the MXU's HIGHEST mode rebuilds from SIX
+    bf16 passes by splitting BOTH operands 3x. Pixels are u8, and every
+    integer <= 255 is EXACT in bf16 (8 significant bits), so the input
+    needs no split at all: THREE default-precision bf16 passes
+
+        y = x_bf16 @ m0 + x_bf16 @ m1 + x_bf16 @ m2 + b    (f32 accum)
+
+    match the f32-HIGHEST einsum against the float64 oracle (0 mismatches
+    in 65,536 coefficients, benchmarks/dct_experiments.py) at ~2.2x the
+    measured throughput. Every encode path (XLA einsum, transform_pallas,
+    fused_encode_pallas) MUST use this exact sum order — the byte-identity
+    contract between them depends on it.
+    """
+    import ml_dtypes  # numpy bf16 (ships with jax); keeps tables jax-free
+
+    m, b = fused_encode_operator(cfg, chroma=chroma)
+    rem = np.asarray(m, np.float32)
+    parts = []
+    for _ in range(3):
+        p = rem.astype(ml_dtypes.bfloat16)
+        parts.append(p)
+        rem = rem - p.astype(np.float32)
+    return parts[0], parts[1], parts[2], np.asarray(b, np.float32)
+
+
+@functools.lru_cache(maxsize=None)
 def fused_decode_operator(cfg: CodecConfig, chroma: bool = False):
     """(M_dec, b_dec) such that pixels = clip(round(z @ M_dec + b_dec), 0, 255).
 
