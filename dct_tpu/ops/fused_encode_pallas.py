@@ -66,6 +66,62 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compact_rows(planes, alive, pos):
+    """Stable lane-compaction: squeeze each row's alive lanes to the left.
+
+    Destination = exclusive prefix count of alive lanes; every element moves
+    LEFT by delta = pos - dst, decomposed over delta's bits LSB-first.
+    delta is non-decreasing along lanes (dst increments by at most 1 per
+    lane), which makes the per-bit parallel shift collision-free: after
+    bits 0..b-1, element positions p - (delta & (2^b - 1)) stay strictly
+    increasing (the gap between neighbors is >= 1 + the difference of their
+    delta high-parts). Wrapped (circular) arrivals are rejected by the
+    pos < 128 - step guard. Fully vectorized over all rows at once.
+
+    Returns the compacted planes. Lanes >= the row's alive count hold
+    stale values — mask with lane < live_count before use.
+    """
+    cnt = alive.astype(jnp.int32)
+    inc = cnt
+    for step in (1, 2, 4, 8, 16, 32, 64):
+        inc = inc + jnp.where(pos >= step, pltpu.roll(inc, step, axis=1), 0)
+    dst = inc - cnt  # exclusive count of alive lanes to the left
+    rem = jnp.where(alive, pos - dst, 0)
+    out = list(planes)
+    al = cnt  # 0/1 int32 — keep rolled state 32-bit (Mosaic i1 vectors)
+    for b in range(7):
+        s = 1 << b
+        a_rem = pltpu.roll(rem, 128 - s, axis=1)  # = roll by -s (circular)
+        a_al = pltpu.roll(al, 128 - s, axis=1)
+        take = (a_al == 1) & (((a_rem >> b) & 1) == 1) & (pos < 128 - s)
+        leave = (al == 1) & (((rem >> b) & 1) == 1)
+        out = [
+            jnp.where(take, pltpu.roll(p, 128 - s, axis=1), p) for p in out
+        ]
+        rem = jnp.where(take, a_rem, rem)
+        al = jnp.where(take, 1, jnp.where(leave, 0, al))
+    return out
+
+
+def _merge_pairs(planes, l0, lane):
+    """Append row 2i+1's compacted lanes after row 2i's first l0 lanes.
+
+    planes must be pre-masked (zeros at lanes >= their row's live count) so
+    the circular wrap of the variable right-shift only recycles zeros, and
+    the lane < l0 select covers the wrapped region. Valid at EVEN rows only.
+    """
+    shifted = [
+        pltpu.roll(p, p.shape[0] - 1, axis=0) for p in planes
+    ]  # roll by -1: odd row -> even slot (circular)
+    for b in range(7):
+        s = 1 << b
+        cond = ((l0 >> b) & 1) == 1  # (R, 1) row-broadcast
+        shifted = [
+            jnp.where(cond, pltpu.roll(p, s, axis=1), p) for p in shifted
+        ]
+    return [jnp.where(lane < l0, e, o) for e, o in zip(planes, shifted)]
+
+
 def _round_half_away_i32(x):
     # round-half-away folded into the conversion: f32->i32 truncates, so
     # (x +- 0.5).astype(i32) == sign*floor(|x|+0.5) bit-for-bit
@@ -224,26 +280,38 @@ def _fused_kernel(
         )
 
     kmat = off >> 4
-    scr_k[:] = kmat
-    for j in range(4):
-        d = digit(rv, nR, j)
-        if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
-            d = d | digit(T, nT, j)
-        scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
-        scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
     base_vec = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row (R, 1)
     scr_base[:] = base_vec
 
-    # Per-stripe span tier: the widest row (align slack + extent, in units,
-    # +4 for the frame tail) decides which pack loop runs. FAST_SPAN halves
-    # the one-hot build, the MXU tiles, and the epilogue whenever every row
-    # fits — one SCALAR branch per stripe, so the hot loops stay branch-free.
-    span_need = jnp.max(jnp.max(kmat, axis=1, keepdims=True) + 4 - base_vec)
+    def write_digits(Tv, nTv, rvv, nRv):
+        for j in range(4):
+            d = digit(rvv, nRv, j)
+            if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
+                d = d | digit(Tv, nTv, j)
+            scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
+            scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
+
+    # Per-stripe pack tier (ONE scalar branch per stripe — per-ROW branching
+    # is the measured dead end; the hot loops stay branch-free):
+    #   pair: both rows of every even/odd pair fit their live symbols in one
+    #         128-lane vector AND the pair's units fit FAST_SPAN -> compact +
+    #         merge, HALF the pack-loop iterations at half the span.
+    #   mid:  every single row fits FAST_SPAN -> half span, all rows.
+    #   safe: worst-case content -> the round-1 ROW_SPAN loop.
+    livecnt = jnp.sum(is_sym.astype(jnp.int32), axis=1, keepdims=True)
+    last_k = jnp.max(kmat, axis=1, keepdims=True)
+    even = (ridx1 & 1) == 0
+    pair_live = livecnt + pltpu.roll(livecnt, R - 1, axis=0)
+    pair_last = jnp.maximum(last_k, pltpu.roll(last_k, R - 1, axis=0))
+    pair_ok = (jnp.max(jnp.where(even, pair_live, 0)) <= 128) & (
+        jnp.max(jnp.where(even, pair_last + 4 - base_vec, 0)) <= FAST_SPAN
+    )
+    span_need = jnp.max(last_k + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
 
-    def pack_loop(span):
+    def pack_loop(span, row_step):
         u = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
 
         def one_row(r, planes, rr):
@@ -270,19 +338,36 @@ def _fused_kernel(
             # in scr_d: one (8,128) load per plane per 8-row group,
             # row-selected by static slicing in registers
             planes = [scr_d[pl.ds(j * R + 8 * r8, 8), :] for j in range(8)]
-            for rr in range(8):  # R is a multiple of 8
+            for rr in range(0, 8, row_step):  # R is a multiple of 8
                 one_row(8 * r8 + rr, planes, rr)
             return 0
 
         jax.lax.fori_loop(0, R // 8, body, 0)
 
-    @pl.when(span_need <= FAST_SPAN)
-    def _fast():
-        pack_loop(FAST_SPAN)
+    @pl.when(pair_ok)
+    def _pair():
+        live_mask = lane < livecnt
+        planes = [
+            jnp.where(live_mask, p, 0) for p in
+            _compact_rows([kmat, T, nT, rv, nR], is_sym, lane)
+        ]
+        km, Tm, nTm, rvm, nRm = _merge_pairs(planes, livecnt, lane)
+        scr_k[:] = km
+        write_digits(Tm, nTm, rvm, nRm)
+        pack_loop(FAST_SPAN, 2)  # even rows carry the merged pairs
 
-    @pl.when(span_need > FAST_SPAN)
-    def _safe():
-        pack_loop(ROW_SPAN)
+    @pl.when(jnp.logical_not(pair_ok))
+    def _unpaired():
+        scr_k[:] = kmat
+        write_digits(T, nT, rv, nR)
+
+        @pl.when(span_need <= FAST_SPAN)
+        def _mid():
+            pack_loop(FAST_SPAN, 1)
+
+        @pl.when(span_need > FAST_SPAN)
+        def _safe():
+            pack_loop(ROW_SPAN, 1)
 
 
 def encode_stripes_fused(
