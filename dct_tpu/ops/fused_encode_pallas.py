@@ -66,6 +66,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# Trace-time test hook (benchmarks/pack_experiments.py): skip the pack loop
+# so the kernel's phase-1-4 cost can be measured in isolation. Units come
+# back zero — NEVER set outside benchmarks.
+_SKIP_PACK = False
+
+
 def _compact_rows(planes, alive, pos):
     """Stable lane-compaction: squeeze each row's alive lanes to the left.
 
@@ -343,6 +349,9 @@ def _fused_kernel(
             return 0
 
         jax.lax.fori_loop(0, R // 8, body, 0)
+
+    if _SKIP_PACK:  # benchmark hook: phases 1-4 only
+        return
 
     @pl.when(pair_ok)
     def _pair():
