@@ -104,6 +104,61 @@ def main() -> None:
             float(fn(frames_dev))  # scalar fetch = true device sync
         return (time.perf_counter() - t0) / iters
 
+    # ---- DCT-kernel roofline fraction (the BASELINE.json north-star
+    # metric): time the standalone transform kernel on the same content and
+    # divide by the analytic ceiling min(MXU, HBM). The kernel runs the
+    # split-operand form = 3 bf16 MXU passes (256 FLOP/px each); v5e peak
+    # bf16 = 197 TFLOPS (394 is int8), HBM 819 GB/s at 3 B/px.
+    def measure_mfu() -> float:
+        from dct_tpu.ops import transform_pallas as tpk
+        from dct_tpu.ops import blocks as blk
+
+        px = jax.vmap(lambda im: blk.image_to_blocks(im, 8))(frames_dev)
+        # double the workload so the K-loop delta dwarfs the ~2 ms tunnel
+        # dispatch jitter (the kernel body is ~0.2 ms at 33 Mpix)
+        px = jnp.concatenate([px, px]).reshape(-1, 64)
+
+        def make_k(k):
+            # Harness hygiene (benchmarks/dct_experiments.py): an
+            # optimization_barrier threaded through the carry pins the
+            # kernel in the loop with no extra memory traffic (an
+            # XOR-perturbation pass + full-output sum would more than
+            # double the kernel's own HBM bytes and measure the HARNESS),
+            # and only a 64-value slice of the output is consumed.
+            @jax.jit
+            def run(p):
+                def body(i, acc):
+                    pi, _ = jax.lax.optimization_barrier((p, acc))
+                    zz = tpk.encode_blocks_pallas(pi, cfg)
+                    return acc + jnp.sum(zz[:1].astype(jnp.int32))
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return run
+
+        def timed_px(fn):
+            float(fn(px))
+            t0 = time.perf_counter()
+            for _ in range(4):
+                float(fn(px))
+            return (time.perf_counter() - t0) / 4
+
+        # two LARGE trip counts: both deltas (129-9)*body >> the ~2 ms
+        # tunnel dispatch jitter, unlike a K=1 baseline
+        k1, k2 = 9, 129
+        t1k, tkk = timed_px(make_k(k1)), timed_px(make_k(k2))
+        if tkk <= t1k:
+            return float("nan")
+        dt_k = (tkk - t1k) / (k2 - k1)
+        gpix = px.shape[0] * 64 / dt_k / 1e9
+        mxu_bound = 197e12 / (256 * 3) / 1e9  # Gpix/s
+        hbm_bound = 819e9 / 3.0 / 1e9
+        return gpix / min(mxu_bound, hbm_bound)
+
+    # measure the kernel roofline BEFORE the sustained encode loops — the
+    # ordering measurably affects kernel timings through the shared chip
+    mfu = measure_mfu() if on_tpu else float("nan")
+
     t1, tk = timed(step1), timed(stepk)
     if tk <= t1:
         # noise-dominated delta: fall back to the conservative single-
@@ -120,16 +175,17 @@ def main() -> None:
     pixels = FRAMES * H * W
     mpix = pixels / dt / 1e6
     baseline = measure_c_baseline()
-    print(
-        json.dumps(
-            {
-                "metric": "encode_throughput_1080p_batch",
-                "value": round(mpix, 2),
-                "unit": "Mpix/s/chip",
-                "vs_baseline": round(mpix / baseline, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "encode_throughput_1080p_batch",
+        "value": round(mpix, 2),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix / baseline, 2),
+    }
+    if mfu == mfu:  # not NaN
+        # roofline fraction of the standalone DCT kernel (north-star
+        # metric; the headline encode above is entropy/pack-bound)
+        out["mfu"] = round(mfu, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -43,6 +43,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--k", type=int, default=33)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--content", type=str, default="random",
+                    choices=("random", "photo"))
     args = ap.parse_args()
 
     import jax
@@ -93,6 +95,40 @@ def main() -> int:
         y = y + b_ref[:]
         o_ref[:] = (y + _half(y)).astype(jnp.int16)
 
+    def k_split3_noepi(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
+        xb = x_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        y = jnp.dot(xb, m0_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xb, m1_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xb, m2_ref[:], preferred_element_type=jnp.float32)
+        o_ref[:] = (y + b_ref[:]).astype(jnp.int16)
+
+    def k_split3_bithalf(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
+        # round-half-away with sign picked by bit ops instead of a
+        # compare+select: half = sign(y) | 0.5 via u32 masks
+        xb = x_ref[:].astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+        y = jnp.dot(xb, m0_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xb, m1_ref[:], preferred_element_type=jnp.float32)
+        y = y + jnp.dot(xb, m2_ref[:], preferred_element_type=jnp.float32)
+        y = y + b_ref[:]
+        yb = pltpu.bitcast(y, jnp.uint32)
+        halfb = (yb & jnp.uint32(0x80000000)) | jnp.uint32(0x3F000000)
+        o_ref[:] = (y + pltpu.bitcast(halfb, jnp.float32)).astype(jnp.int16)
+
+    def k_split3_i2(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
+        # two half-tiles interleaved: epilogue of half A can overlap the
+        # matmuls of half B if Mosaic schedules across the split
+        Hh = TILE // 2
+        for h in range(2):
+            xb = (
+                x_ref[pl.ds(h * Hh, Hh), :]
+                .astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
+            )
+            y = jnp.dot(xb, m0_ref[:], preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xb, m1_ref[:], preferred_element_type=jnp.float32)
+            y = y + jnp.dot(xb, m2_ref[:], preferred_element_type=jnp.float32)
+            y = y + b_ref[:]
+            o_ref[pl.ds(h * Hh, Hh), :] = (y + _half(y)).astype(jnp.int16)
+
     def k_noepi(x_ref, m_ref, b_ref, o_ref):
         x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
         y = jnp.dot(x, m_ref[:], preferred_element_type=jnp.float32,
@@ -102,20 +138,27 @@ def main() -> int:
     def k_copy(x_ref, m_ref, b_ref, o_ref):
         o_ref[:] = x_ref[:].astype(jnp.int32).astype(jnp.int16)
 
-    def call(kernel, x, extra_ms=None):
+    def call(kernel, x, extra_ms=None, tile=None, parallel=False):
+        tile = tile or TILE
         rows = x.shape[0]
         ms = [np.asarray(m2, np.float32)] if extra_ms is None else extra_ms
-        specs = [pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        specs = [pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)]
         for _ in ms:
             specs.append(pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
         specs.append(pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        kw = {}
+        if parallel:
+            kw["compiler_params"] = pltpu.CompilerParams(
+                dimension_semantics=("parallel",)
+            )
         return pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int16),
-            grid=(rows // TILE,),
+            grid=(rows // tile,),
             in_specs=specs,
-            out_specs=pl.BlockSpec((TILE, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             interpret=jax.default_backend() != "tpu",
+            **kw,
         )(x, *[jnp.asarray(m) for m in ms], jnp.asarray(b2, np.float32))
 
     variants = {
@@ -125,12 +168,35 @@ def main() -> int:
         "split2": lambda x: call(functools.partial(k_split, terms=2), x, msplit),
         "noepi": lambda x: call(k_noepi, x),
         "copy": lambda x: call(k_copy, x),
+        "s3noepi": lambda x: call(k_split3_noepi, x, msplit),
+        "s3bit": lambda x: call(k_split3_bithalf, x, msplit),
+        "s3i2": lambda x: call(k_split3_i2, x, msplit),
+        "s3b_t128": lambda x: call(k_split3_bithalf, x, msplit, tile=128),
+        "s3b_t256": lambda x: call(k_split3_bithalf, x, msplit, tile=256),
+        "s3b_t1024": lambda x: call(k_split3_bithalf, x, msplit, tile=1024),
+        "s3b_par": lambda x: call(k_split3_bithalf, x, msplit, parallel=True),
+        "s3b_p256": lambda x: call(
+            k_split3_bithalf, x, msplit, tile=256, parallel=True
+        ),
+        # the production path, to isolate any wrapper overhead
+        "prod": lambda x: tpk.encode_blocks_pallas(
+            x.reshape(-1, 64), cfg
+        ).reshape(x.shape[0], 128),
     }
 
     nb = int(args.mpix * 1e6 / 64)
     nb = -(-nb // (2 * TILE)) * (2 * TILE)
     rng = np.random.default_rng(0)
-    px_np = rng.integers(0, 256, (nb, 64)).astype(np.uint8)
+    if args.content == "photo":
+        from dct_tpu.utils import image_io
+        from dct_tpu.ops import blocks as blk
+
+        im = image_io.synthetic_image(1088, 1920, "photo", seed=0)
+        one = np.asarray(blk.image_to_blocks(jnp.asarray(im), 8))
+        reps = -(-nb // one.shape[0])
+        px_np = np.tile(one, (reps, 1))[:nb]
+    else:
+        px_np = rng.integers(0, 256, (nb, 64)).astype(np.uint8)
     rows = nb // 2
     x = jnp.asarray(px_np.reshape(rows, 128))
     pixels = nb * 64
@@ -155,13 +221,20 @@ def main() -> int:
         )
 
     # ---- throughput ------------------------------------------------------
+    # Harness traffic matters: an XOR-perturbation pass plus a full-output
+    # sum add ~2.3x the kernel's own HBM bytes and bound the measurement by
+    # the HARNESS, not the kernel (round-1 and the first round-2 numbers
+    # all have this bias). Instead: an optimization_barrier threaded
+    # through the loop carry pins the kernel inside the loop (no hoisting,
+    # no CSE) with ZERO extra memory traffic, and only a 128-lane slice of
+    # the output is consumed (the kernel still writes everything).
     def make(fn, k):
         @jax.jit
         def run(p):
             def body(i, acc):
-                pi = p ^ (i & 255).astype(jnp.uint8)
+                pi, _ = jax.lax.optimization_barrier((p, acc))
                 zz = fn(pi)
-                return acc + jnp.sum(zz.astype(jnp.int32))
+                return acc + jnp.sum(zz[:1].astype(jnp.int32))
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 

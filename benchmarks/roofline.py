@@ -5,10 +5,13 @@
 ceilings of the chip.
 
 Ceilings (v5e defaults, overridable by flags):
-  * MXU:  the kernel runs f32 at HIGHEST precision = 6 bf16 passes
-          -> flops_bound = peak_bf16_flops / 6
-          at 2*128*128 MACs per 128-pixel row -> 512 FLOP/pixel (x6 passes)
+  * MXU:  the kernel runs the split-operand form (x exact in bf16, operator
+          as 3 bf16 terms — tables.fused_encode_operator_split) = 3 bf16
+          passes -> flops_bound = peak_bf16_flops / 3 at 2*128*128 MACs per
+          128-pixel row (256 FLOP/pixel per pass)
   * HBM:  u8 in + int16 out = 3 B/pixel
+  v5e peak bf16 is 197 TFLOPS (394 is the INT8 number — round 1 used it by
+  mistake, halving every reported fraction)
 
 Timing: K-loop delta on-device (see bench.py) — dispatch overhead through
 the axon tunnel cancels.
@@ -33,8 +36,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mpix", type=float, default=33.4,
                     help="workload size in Mpix (default ~2x bench.py)")
-    ap.add_argument("--peak-bf16-tflops", type=float, default=394.0,
-                    help="chip peak bf16 TFLOPS (v5e: 394)")
+    ap.add_argument("--peak-bf16-tflops", type=float, default=197.0,
+                    help="chip peak bf16 TFLOPS (v5e: 197; 394 is int8)")
     ap.add_argument("--hbm-gbs", type=float, default=819.0,
                     help="chip HBM bandwidth GB/s (v5e: 819)")
     ap.add_argument("--iters", type=int, default=4)
@@ -87,14 +90,14 @@ def main() -> int:
         dt = (tk - t1) / (K - 1)
     gpix = pixels / dt / 1e9
 
-    flop_per_px = 2 * 128 * 128 / 128 * 6  # HIGHEST = 6 bf16 passes
+    flop_per_px = 2 * 128 * 128 / 128 * 3  # split-operand = 3 bf16 passes
     mxu_bound = args.peak_bf16_tflops * 1e12 / flop_per_px / 1e9  # Gpix/s
     hbm_bound = args.hbm_gbs * 1e9 / 3.0 / 1e9
     bound = min(mxu_bound, hbm_bound)
     print(
         f"backend={jax.default_backend()} workload={pixels/1e6:.1f} Mpix\n"
         f"DCT+quant+zigzag kernel: {dt*1e3:.3f} ms  {gpix:.2f} Gpix/s\n"
-        f"bounds: MXU {mxu_bound:.1f} Gpix/s (f32 HIGHEST = bf16/6), "
+        f"bounds: MXU {mxu_bound:.1f} Gpix/s (split-operand = bf16/3), "
         f"HBM {hbm_bound:.1f} Gpix/s (3 B/px)\n"
         f"roofline fraction: {gpix / bound * 100:.1f}% of "
         f"{'MXU' if mxu_bound < hbm_bound else 'HBM'} bound"

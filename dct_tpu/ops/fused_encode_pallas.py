@@ -130,9 +130,9 @@ def _merge_pairs(planes, l0, lane):
 
 def _round_half_away_i32(x):
     # round-half-away folded into the conversion: f32->i32 truncates, so
-    # (x +- 0.5).astype(i32) == sign*floor(|x|+0.5) bit-for-bit
-    half = jnp.where(x >= 0, jnp.float32(0.5), jnp.float32(-0.5))
-    return (x + half).astype(jnp.int32)
+    # (x +- 0.5).astype(i32) == sign*floor(|x|+0.5) bit-for-bit; the +-0.5
+    # comes from bit ops (see transform_pallas._half)
+    return (x + tpk._half(x)).astype(jnp.int32)
 
 
 def _fused_kernel(

@@ -43,8 +43,15 @@ TILE_ROWS = 512
 
 def _half(y):
     # round-half-away folded into the int conversion: f32->int converts
-    # round-toward-zero, so trunc(y +- 0.5) needs no explicit trunc op
-    return jnp.where(y >= 0, jnp.float32(0.5), jnp.float32(-0.5))
+    # round-toward-zero, so trunc(y +- 0.5) needs no explicit trunc op.
+    # The +-0.5 is built by BIT ops (sign(y) | 0.5) instead of a
+    # compare+select — measured +7% on the whole encode kernel
+    # (benchmarks/dct_experiments.py s3bit) and produces the same integer
+    # for every input: the only sign difference vs `y >= 0` is y == -0.0,
+    # where both 0.5 and -0.5 truncate to 0.
+    yb = pltpu.bitcast(y, jnp.uint32)
+    halfb = (yb & jnp.uint32(0x80000000)) | jnp.uint32(0x3F000000)
+    return pltpu.bitcast(halfb, jnp.float32)
 
 BLOCKS_PER_ROW = 2
 
@@ -212,11 +219,6 @@ def encode_blocks_pallas(
             (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
-        cost_estimate=pl.CostEstimate(
-            flops=3 * 2 * rows * 128 * 128,
-            bytes_accessed=rows * 128 * (x.dtype.itemsize + 2) + 3 * 128 * 128 * 2,
-            transcendentals=0,
-        ),
     )
     mats = (jnp.asarray(m0), jnp.asarray(m1), jnp.asarray(m2))
     if cfg.adaptive:
