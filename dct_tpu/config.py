@@ -96,6 +96,15 @@ class CodecConfig:
     def __post_init__(self):
         if self.block_size < 2:
             raise ValueError(f"block_size must be >= 2, got {self.block_size}")
+        if self.coded_runs and self.block_size > 8:
+            # The run-code alphabet (and the TPDC wire format's 65-entry
+            # run table) covers runs 0..64; N > 8 blocks produce runs up
+            # to N^2, which would silently index past the table and emit
+            # an undecodable stream. The fixed 8-bit run field handles any
+            # N <= 16.
+            raise ValueError(
+                "coded_runs requires block_size <= 8 (run alphabet is 0..64)"
+            )
         # Reference clamps rather than rejects (quantization.c:26-31).
         q = min(100, max(1, int(self.quality)))
         object.__setattr__(self, "quality", q)

@@ -145,7 +145,11 @@ def encode_pack(
     """Stage 2 on device: symbols + canonical table -> packed stripe units."""
     if cfg.coded_runs and run_lengths is None:
         raise ValueError("coded_runs requires a run table")
-    rkw = dict(run_lengths=run_lengths, run_codes=run_codes)
+    rkw = dict(
+        run_lengths=run_lengths,
+        run_codes=run_codes,
+        run_bits=bs.run_field_bits(cfg.n2),
+    )
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
     if mode == "category":
         cv, cl = bs.symbol_chunks(
@@ -162,7 +166,7 @@ def encode_pack(
     bps = nb // n_stripes  # blocks per stripe (static)
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
     cl = cl.reshape(n_stripes, bps * cl.shape[1], 3)
-    capacity = bps * bs.UNITS_PER_BLOCK_WORST
+    capacity = bps * bs.units_per_block_worst(cfg.n2)
     if jax.default_backend() == "tpu":
         from dct_tpu.ops.pack_pallas import pack_chunks_pallas
 
@@ -177,7 +181,7 @@ def _build_table(cfg: CodecConfig, hist: np.ndarray) -> hf.CanonicalTable | None
     if cfg.static_tables:
         if cfg.huffman_mode != "category":
             raise ValueError("static_tables requires huffman_mode='category'")
-        return hf.default_category_table()
+        return hf.default_category_table(cfg.quality)
     return hf.CanonicalTable.from_frequencies(hist)
 
 
@@ -187,7 +191,7 @@ def _build_run_table(
     if not cfg.coded_runs:
         return None
     if cfg.static_tables or run_hist is None:
-        return hf.default_run_table()
+        return hf.default_run_table(cfg.quality)
     # +1 smoothing: every run 0..64 must stay encodable even if absent
     # from this image (repair re-encodes stripes against the stored table)
     return hf.CanonicalTable.from_frequencies(
@@ -259,7 +263,7 @@ def encode_step(
     """
     if not cfg.static_tables:
         raise ValueError("encode_step requires cfg.static_tables")
-    table = hf.default_category_table()
+    table = hf.default_category_table(cfg.quality)
     lengths, codes = _table_arrays(table)
     if cfg.coded_runs:
         run_lengths, run_codes = _table_arrays(_build_run_table(cfg, None))

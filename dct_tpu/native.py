@@ -103,6 +103,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p, u32p, ctypes.c_int,   # table lengths, codes, size
         ctypes.c_int,              # vmin
         u8p, ctypes.c_uint64,      # out buffer, capacity bytes
+        ctypes.c_int,              # n2 (fixed run-field width derives from it)
     ]
     lib.dctbits_pack_block_symbols.restype = ctypes.c_int64
     return lib

@@ -36,9 +36,34 @@ import numpy as np
 from dct_tpu.ops import huffman as hf
 from dct_tpu.ops.rle import RLEBlocks, RLEPositional
 
-# Static worst case per block: 64 symbols x (16 huff + 15 extra + 8 run).
+# Static worst case per block: n^2 symbols x (16 huff + 15 extra + 8 run).
 MAX_BITS_PER_SYMBOL = 16 + 15 + 8
-UNITS_PER_BLOCK_WORST = (64 * (MAX_BITS_PER_SYMBOL + 1) + 15) // 16  # 160
+
+
+def run_field_bits(n2: int) -> int:
+    """Fixed run-field width for n2-coefficient blocks.
+
+    The reference convention is a flat 8-bit run (entropy.c:390), which
+    holds every run for N <= 15 (runs reach n2 for the all-zero block's
+    terminal symbol — ops/rle.py). 16x16 blocks produce run 256, which
+    silently truncated to 0 in round 1 and emitted an UNDECODABLE stream
+    for any all-zero block; the field widens to bit_length(n2) there. The
+    width is a pure function of block_size, which the container stores, so
+    the format stays self-describing."""
+    return max(8, int(n2).bit_length())
+
+
+def units_per_block_worst(n2: int = 64) -> int:
+    """Worst-case 16-bit stream units one n2-coefficient block can emit.
+
+    Round-1 hardcoded the 64-symbol (8x8) figure everywhere, which
+    under-allocates the pack buffer for 16x16 blocks (256 symbols) under
+    adversarial content; capacity must scale with the block size."""
+    bits = 16 + 15 + run_field_bits(n2)
+    return (n2 * (bits + 1) + 15) // 16
+
+
+UNITS_PER_BLOCK_WORST = units_per_block_worst(64)  # 160 (8x8 blocks)
 
 
 class PackedStripes(NamedTuple):
@@ -85,6 +110,7 @@ def symbol_chunks(
     esc_index: int = 0,
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
+    run_bits: int = 8,
 ):
     """Per-symbol (chunk_values (B,S,3) uint32, chunk_lens (B,S,3) int32).
 
@@ -111,7 +137,7 @@ def symbol_chunks(
         run_l = jnp.where(live, jnp.asarray(run_lengths, jnp.int32)[runs], 0)
     else:
         run_v = runs.astype(jnp.uint32)
-        run_l = jnp.where(live, hf.RUN_BITS, 0).astype(jnp.int32)
+        run_l = jnp.where(live, run_bits, 0).astype(jnp.int32)
 
     if mode == "category":
         cats = hf.category_of(values)
@@ -454,10 +480,12 @@ def pack_stripes_host(
     cat_table: "hf.CanonicalTable | None" = None,
     val_table: "hf.CanonicalTable | None" = None,
     vmin: int = 0,
+    n2: int = 64,
 ) -> list[bytes]:
     """Host (NumPy) packer with identical wire format — the oracle for the
     device scatter packer. symbols_per_stripe: list of (values, runs) numpy
     pairs, already restricted to live symbols, concatenated per stripe."""
+    rb = run_field_bits(n2)
     out = []
     for values, runs in symbols_per_stripe:
         w = BitWriter()
@@ -480,7 +508,7 @@ def pack_stripes_host(
                     w.write_bits(v & 0xFFFF, 16)
             elif mode == "none":
                 w.write_bits(v & 0xFFFF, 16)
-            w.write_bits(r, hf.RUN_BITS)
+            w.write_bits(r, rb)
         out.append(w.getvalue())
     return out
 
@@ -531,7 +559,7 @@ def unpack_stripe_host(
             if run_table is not None:
                 run = run_table.decode_one(r)
             else:
-                run = r.read_bits(hf.RUN_BITS)
+                run = r.read_bits(run_field_bits(n2))
             pos += run
             if pos < n2:
                 out[b, pos] = v

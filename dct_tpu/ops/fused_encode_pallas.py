@@ -22,19 +22,30 @@ lanes):
   4. stream bit offsets: lane-segment prefix + per-row totals + sublane
      log-roll prefix across rows — all in registers/VMEM.
   5. pack: per row, one one-hot matrix A[p,j] = (unit(p) == j) over the
-     <=512-unit row span serves all four digit planes: a single
-     (8,128)@(128,512) MXU matmul scatters+reduces them, and digits d>0
+     row's unit span serves all four digit planes: a single
+     (8,128)@(128,span) MXU matmul scatters+reduces them, and digits d>0
      land via d-lane rolls of the product rows. The digits are stored as
      hi/lo BYTES (exact in bf16) so the matmul runs in ONE default-
-     precision bf16 pass with f32 accumulation (sums < 2^15 — exact),
-     recombined as hi*256+lo afterwards. A and the byte matrix stay f32
-     in VMEM (v5e has no 16-bit compare and Mosaic restricts 16-bit
-     dynamic-offset loads); the DEFAULT-precision matmul's internal
-     f32->bf16 rounding is exact for 0/1 and byte values. This replaces
-     per-plane f32 one-hot multiply-reduces (~6x less VPU work, 6x fewer
-     MXU passes). Mosaic dynamic lane offsets must be 128-multiples, so
-     the row base is aligned down and the slack lives inside the 512-unit
-     span.
+     precision bf16 pass with f32 accumulation (disjoint bitfields keep
+     byte sums < 2^15 — exact), recombined as hi*256+lo afterwards. A and
+     the byte matrix stay f32 in VMEM (v5e has no 16-bit compare and
+     Mosaic restricts 16-bit dynamic-offset loads); the DEFAULT-precision
+     matmul's internal f32->bf16 rounding is exact for 0/1 and byte
+     values. Mosaic dynamic lane offsets must be 128-multiples, so the
+     row base is aligned down and the slack lives inside the span.
+
+     Round 2 added per-stripe PACK TIERS (one scalar branch per stripe —
+     per-row branching is the measured dead end, CLAUDE.md):
+       * pair tier: every even/odd row pair's live symbols fit 128 lanes
+         AND its units fit FAST_SPAN -> each row's symbols are
+         lane-compacted left (_compact_rows: collision-free LSB-first
+         log-shifts; move distances are monotone along lanes) and the odd
+         row's symbols are appended after the even row's (_merge_pairs),
+         so the serial loop runs HALF the iterations at HALF the span.
+       * mid tier: unpaired rows at FAST_SPAN.
+       * safe tier: the round-1 ROW_SPAN loop for worst-case content.
+     q50 1080p takes the pair tier everywhere: 688 -> ~1000 Mpix/s chip
+     throughput with the split-operand transform.
 
 Bitstreams are byte-identical to the XLA pipeline (tested), so CPU tests
 and TPU production produce the same containers.

@@ -283,41 +283,67 @@ class CanonicalTable:
 # Static default table (single-pass mode)
 # ---------------------------------------------------------------------------
 
-# Category frequencies of typical natural-image DCT statistics (Laplacian
-# coefficient distribution): cat 0 and small categories dominate. Building
-# the canonical table from these fixed pseudo-frequencies gives a JPEG-style
-# default table, enabling single-dispatch encode with no histogram sync
-# (config.static_tables). Any stream remains decodable: every category has a
-# nonzero frequency, so every symbol gets a code.
-_DEFAULT_CATEGORY_PSEUDO_FREQS = np.array(
-    [4000, 2600, 1700, 1100, 700, 420, 230, 110, 45, 16, 5, 2, 1, 1, 1, 1],
-    np.int64,
+# Quality-banded default tables. Round 1 shipped ONE table tuned on
+# synthetic content at mixed qualities; real-image validation
+# (benchmarks/real_validation.py over tests/data/, VERDICT.md weak #6)
+# measured up to 18% size penalty vs per-image dynamic tables because the
+# category/run statistics shift strongly with quality. Three bands, each
+# tuned by multiplicative-weights MINIMAX over real rasters (photograph,
+# MRI, DEM, topobathy) + synthetic photos at that band's qualities
+# (benchmarks/retune_minimax.py): worst-case penalty per band drops
+# 18.1->3.8%, 5.8->2.0%, 15.7->9.6%. The decoder reads code lengths from
+# the container, so the choice of band is encode-side only — no wire
+# compatibility constraint. Every entry is >= 1, so any symbol remains
+# encodable regardless of content.
+_BAND_EDGES = (25, 75)  # quality <= 25 | 26..75 | >= 76
+
+_DEFAULT_CATEGORY_PSEUDO_FREQS_BANDS = (
+    np.array([10177, 15833, 6507, 3670, 2753, 1060,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1], np.int64),
+    np.array([5642, 16727, 7749, 4086, 2494, 1647, 1082, 574,
+              1, 1, 1, 1, 1, 1, 1, 1], np.int64),
+    np.array([1989, 9437, 7395, 11660, 4129, 1845, 1233, 858, 594, 463,
+              397, 1, 1, 1, 1, 1], np.int64),
+)
+
+_DEFAULT_RUN_PSEUDO_FREQS_BANDS = (
+    np.array([22524, 4396, 1256, 738, 376, 207, 134, 88, 49, 19, 23, 7, 3,
+              1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+              1, 1, 1, 2, 2, 19, 37, 10, 3, 2, 38, 44, 63, 84, 57, 9, 92,
+              142, 190, 59, 43, 212, 386, 206, 91, 567, 753, 186, 2783,
+              1016, 2970, 101], np.int64),
+    np.array([25507, 4765, 1590, 891, 583, 362, 257, 137, 86, 49, 51, 25,
+              18, 21, 7, 5, 3, 6, 6, 3, 4, 13, 11, 3, 8, 6, 2, 5, 3, 12,
+              14, 27, 34, 25, 3, 9, 22, 26, 92, 144, 46, 38, 9, 130, 161,
+              156, 97, 52, 13, 83, 148, 216, 110, 86, 303, 257, 121, 90,
+              452, 916, 239, 456, 86, 896, 1], np.int64),
+    np.array([26035, 5950, 2425, 1322, 802, 506, 331, 219, 154, 142, 139,
+              72, 56, 42, 32, 25, 28, 34, 14, 26, 48, 55, 32, 17, 36, 37,
+              13, 8, 22, 30, 64, 60, 84, 39, 21, 27, 72, 38, 116, 196, 85,
+              84, 24, 139, 103, 61, 36, 19, 7, 18, 16, 13, 9, 5, 4, 2, 2,
+              1, 1, 1, 1, 1, 1, 1, 1], np.int64),
 )
 
 
+def _band(quality: int) -> int:
+    if quality <= _BAND_EDGES[0]:
+        return 0
+    if quality <= _BAND_EDGES[1]:
+        return 1
+    return 2
+
+
 @np.errstate(all="ignore")
-def default_category_table() -> "CanonicalTable":
-    return CanonicalTable.from_frequencies(_DEFAULT_CATEGORY_PSEUDO_FREQS)
-
-
-# Run-length frequencies measured over synthetic photographic content at
-# qualities 25-90 (run 0 is ~61% of symbols; the tail bump near 40-63 is the
-# terminal-zero symbol of early-ending blocks). +1 smoothing keeps every run
-# 0..63 encodable with the static table.
-_DEFAULT_RUN_PSEUDO_FREQS = np.array(
-    [36911, 8829, 3351, 1929, 1133, 752, 534, 402, 314, 353, 385, 149,
-     116, 115, 101, 80, 83, 90, 66, 78, 176, 154, 75, 21, 74, 68, 41, 18,
-     48, 63, 64, 58, 57, 42, 28, 27, 35, 24, 43, 115, 46, 47, 3, 216,
-     207, 189, 121, 71, 9, 97, 153, 171, 152, 74, 321, 219, 116, 71, 326,
-     854, 130, 730, 146, 33,
-     200],  # run 64: the all-zero block's terminal symbol
-    np.int64,
-) + 1
-
-
-def default_run_table() -> "CanonicalTable":
+def default_category_table(quality: int = 50) -> "CanonicalTable":
     return CanonicalTable.from_frequencies(
-        _DEFAULT_RUN_PSEUDO_FREQS, max_len=RUN_MAX_CODE_LEN
+        _DEFAULT_CATEGORY_PSEUDO_FREQS_BANDS[_band(quality)]
+    )
+
+
+def default_run_table(quality: int = 50) -> "CanonicalTable":
+    return CanonicalTable.from_frequencies(
+        _DEFAULT_RUN_PSEUDO_FREQS_BANDS[_band(quality)],
+        max_len=RUN_MAX_CODE_LEN,
     )
 
 

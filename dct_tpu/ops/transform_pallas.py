@@ -1,23 +1,28 @@
 """Pallas TPU kernels for the fused codec front-end.
 
 One grid cell processes a tile of macroblocks: u8 pixels are DMA'd
-HBM->VMEM, converted to f32 on the VPU, hit the MXU once against the fused
-Kronecker operator (DCT + zigzag + quant folded — see dct_tpu/tables.py),
-get the level-shift bias and optional per-block adaptive scale applied, and
-are rounded straight to int16 zigzag coefficients. The decode kernel is the
+HBM->VMEM, widened on the VPU, hit the MXU against the fused Kronecker
+operator (DCT + zigzag + quant folded — see dct_tpu/tables.py), get the
+level-shift bias and optional per-block adaptive scale applied, and are
+rounded straight to int16 zigzag coefficients. The decode kernel is the
 mirror. This replaces the reference's per-block O(N^3) loops (dct.c:52-105)
-and per-call temp mallocs (SURVEY.md B7) with a single bandwidth-bound
-streaming kernel.
+and per-call temp mallocs (SURVEY.md B7) with a single streaming kernel.
 
 MXU packing: two 64-coefficient blocks ride in each 128-lane row against a
 block-diagonal 128x128 operator, so the systolic array runs at full width
 (a bare (B,64)x(64,64) matmul would waste half the lanes).
 
-Memory roofline per block (quality path): 64 B of u8 in + 128 B of int16
-out = 192 B for 2*64*128 = 16K MACs on the f32 path — decisively
-bandwidth-bound, which is why the kernel's job is purely to keep the DMA
-pipeline saturated (the default pallas_call pipeline double-buffers
-automatically).
+ENCODE runs the split-operand form (transform.split_operand_matmul): u8
+pixels are exact in bf16, the operator rides as three bf16 terms = 3
+default-precision MXU passes with the same effective precision f32
+HIGHEST rebuilds from 6 (0/65,536 mismatches vs the f64 oracle; 2.2x
+measured). DECODE keeps f32 HIGHEST: its input coefficients reach +-2047
+(12 bits), which bf16 cannot represent exactly, and the decode half is
+already dominated by HBM, not the MXU.
+
+Measured roofline (benchmarks/dct_experiments.py, clean harness): encode
+kernel 186 Gpix/s = 73% of min(MXU 256, HBM 273) Gpix/s on one v5e chip;
+the gap is VPU widen/round work executing serially with the MXU passes.
 
 On CPU (tests) the kernels run in interpreter mode.
 """

@@ -18,6 +18,15 @@ namespace {
 
 constexpr int kRunBits = 8;
 
+// Fixed run-field width for n2-coefficient blocks: 8 bits covers runs up
+// to n2 for N <= 15; 16x16 blocks (run 256 on the all-zero terminal) need
+// bit_length(n2). Mirrors dct_tpu/ops/bitstream.run_field_bits.
+inline int run_field_bits(int n2) {
+  int b = 0;
+  while ((1 << b) <= n2) ++b;
+  return b < kRunBits ? kRunBits : b;
+}
+
 enum Mode { kCategory = 0, kDirect = 1, kNone = 2 };
 
 // ---- canonical table ------------------------------------------------------
@@ -159,14 +168,16 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
                        int32_t* out, int* err,
                        uint64_t* consumed_bits = nullptr) {
   BitReader r{data, nbytes};
-  // With the reference-convention fixed 8-bit run field, one peek64 covers
-  // the whole symbol (code <=16b + payload <=16b + run 8b). With a coded
-  // run (cfg.coded_runs), the run code is decoded from a second peek after
-  // consuming the value part — still O(1) via its own LUT.
+  // With the reference-convention fixed run field (8 bits; 9 for 16x16
+  // blocks), one peek64 covers the whole symbol (code <=16b + payload
+  // <=16b + run <=9b <= 40 bits, within the >= 57 usable peek bits). With
+  // a coded run (cfg.coded_runs), the run code is decoded from a second
+  // peek after consuming the value part — still O(1) via its own LUT.
+  const int rbits = run_field_bits(n2);
   auto read_run = [&](uint64_t w, int consumed) -> int {
     if (!run_table) {
-      uint32_t run = (uint32_t)((w << consumed) >> (64 - kRunBits));
-      r.consume(consumed + kRunBits);
+      uint32_t run = (uint32_t)((w << consumed) >> (64 - rbits));
+      r.consume(consumed + rbits);
       return (int)run;
     }
     r.consume(consumed);
@@ -309,7 +320,8 @@ int64_t dctbits_pack_block_symbols(const int32_t* values, const int32_t* runs,
                                    int count, int mode,
                                    const uint8_t* table_lengths,
                                    const uint32_t* table_codes, int table_size,
-                                   int vmin, uint8_t* out, uint64_t capacity) {
+                                   int vmin, uint8_t* out, uint64_t capacity,
+                                   int n2) {
   uint64_t acc = 0;
   int nbits = 0;
   uint64_t outpos = 0;
@@ -350,7 +362,7 @@ int64_t dctbits_pack_block_symbols(const int32_t* values, const int32_t* runs,
     } else {
       if (!put((uint32_t)v & 0xFFFF, 16)) return -1;
     }
-    if (!put((uint32_t)runs[i], kRunBits)) return -1;
+    if (!put((uint32_t)runs[i], run_field_bits(n2))) return -1;
   }
   if (nbits > 0) {
     if (outpos >= capacity) return -1;

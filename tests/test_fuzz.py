@@ -27,7 +27,9 @@ def _random_cfg(rng) -> CodecConfig:
         huffman_mode=mode,
         # static tables only exist for category mode
         static_tables=bool(rng.integers(0, 2)) and mode == "category",
-        coded_runs=bool(rng.integers(0, 2)),
+        # the run-code alphabet covers runs 0..64 -> N <= 8 only (config
+        # rejects larger blocks; see CodecConfig.__post_init__)
+        coded_runs=bool(rng.integers(0, 2)) and block <= 8,
         dc_prediction=bool(rng.integers(0, 2)),
         stripe_rows=int(rng.choice([1, 2, 3])),
     )
@@ -86,3 +88,25 @@ def test_byte_corruption_never_escapes_valueerror(chroma):
             codec.decode(bytes(mutated))
         except (ValueError, IndexError):
             pass  # clean rejection is acceptable; crashes are not
+
+
+def test_all_zero_blocks_roundtrip_every_block_size():
+    """Regression: a 16x16 all-zero block's terminal RLE symbol carries
+    run = 256, which overflowed the fixed 8-bit run field in round 1 and
+    produced an UNDECODABLE stream (native decoder error 2). The run
+    field now widens to bit_length(n2) (ops/bitstream.run_field_bits)."""
+    flat = np.full((64, 64), 128, np.uint8)
+    for n in (4, 8, 15, 16):
+        c = codec.ImageCodec(CodecConfig(quality=10, block_size=n))
+        data = c.encode(flat)
+        assert recovery.verify(data) == []
+        rec = c.decode(data)
+        assert np.abs(rec.astype(int) - 128).max() <= 2
+
+
+def test_coded_runs_rejected_beyond_run_alphabet():
+    """N > 8 runs exceed the 65-entry run-code alphabet; the config must
+    reject the combination instead of emitting garbage codes."""
+    with pytest.raises(ValueError, match="coded_runs"):
+        CodecConfig(block_size=16, coded_runs=True)
+    CodecConfig(block_size=8, coded_runs=True)  # still fine
