@@ -209,13 +209,13 @@ def _table_arrays(t: hf.CanonicalTable | None):
 
 
 def _fused_kernel_ok(cfg: CodecConfig) -> bool:
-    """Whether the single fused encode kernel applies (TPU + 8x8 blocks +
-    category entropy, with or without coded runs). Other configs use the
-    staged pipeline."""
+    """Whether the single fused encode kernel applies (TPU + 4x4/8x8/16x16
+    blocks + category entropy, with or without coded runs). Other configs
+    use the staged pipeline."""
     return (
         cfg.use_pallas
         and jax.default_backend() == "tpu"
-        and cfg.block_size == 8
+        and cfg.block_size in (4, 8, 16)
         and cfg.use_huffman
         and cfg.huffman_mode == "category"
     )

@@ -151,7 +151,7 @@ def _fused_kernel(
     b_ref, scale_ref,
     units_ref, bits_ref, scr_k, scr_d, scr_base,
     *, n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
-    dc_prediction: bool,
+    dc_prediction: bool, n2: int = 64,
 ):
     """One grid cell = one stripe. See module docstring.
 
@@ -172,53 +172,116 @@ def _fused_kernel(
     """
     R = px_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-    pos = lane & 63
-    half = lane >> 6
     ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
     ridx1 = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
-    block_idx = 2 * ridx + half
+    if n2 == 256:
+        # one 16x16 block spans TWO consecutive rows (halves 0/1)
+        pos = lane + 128 * (ridx & 1)  # zigzag position within the block
+        block_idx = ridx >> 1
+    else:
+        # 128 // n2 whole blocks per row (8 for 4x4, 2 for 8x8)
+        shift = n2.bit_length() - 1
+        pos = lane & (n2 - 1)
+        block_idx = (128 // n2) * ridx + (lane >> shift)
     live = block_idx < n_live_blocks
 
     # ---- 1. transform -----------------------------------------------------
     # canonical split-operand matmul (transform.split_operand_matmul order)
     from dct_tpu.ops import transform as _tf
 
-    x = px_ref[0].astype(jnp.int32).astype(jnp.float32)
-    y = _tf.split_operand_matmul(x, m0_ref[:], m1_ref[:], m2_ref[:], b_ref[:])
+    if n2 == 256:
+        # 16x16: the (256,256) operator contracts over both of the block's
+        # rows. Align each row with its block's half-0 / half-1 pixel rows
+        # via sublane rolls, run the four (128,128) quadrants of each split
+        # part, and keep the per-part association (lo-quadrant +
+        # hi-quadrant) identical to the staged XLA K-split formula
+        # (transform.encode_blocks n2=256 branch) for byte-identity.
+        # rolls stay in f32 (Mosaic: "Rotate with non-32-bit data" is not
+        # implemented for bf16 vectors); the bf16 cast is exact either way
+        xf = px_ref[0].astype(jnp.int32).astype(jnp.float32)
+        even2 = (ridx & 1) == 0
+        x_prev = pltpu.roll(xf, 1, axis=0)
+        x_next = pltpu.roll(xf, R - 1, axis=0)
+        xlo = jnp.where(even2, xf, x_prev).astype(jnp.bfloat16)  # half 0
+        xhi = jnp.where(even2, x_next, xf).astype(jnp.bfloat16)  # half 1
+        y = None
+        for m_ref in (m0_ref, m1_ref, m2_ref):
+            t_ll = jnp.dot(xlo, m_ref[0:128, 0:128],
+                           preferred_element_type=jnp.float32)
+            t_lr = jnp.dot(xlo, m_ref[0:128, 128:256],
+                           preferred_element_type=jnp.float32)
+            t_hl = jnp.dot(xhi, m_ref[128:256, 0:128],
+                           preferred_element_type=jnp.float32)
+            t_hr = jnp.dot(xhi, m_ref[128:256, 128:256],
+                           preferred_element_type=jnp.float32)
+            part = jnp.where(even2, t_ll, t_lr) + jnp.where(
+                even2, t_hl, t_hr
+            )
+            y = part if y is None else y + part
+        y = y + jnp.where(even2, b_ref[0:1, :], b_ref[1:2, :])
+    else:
+        x = px_ref[0].astype(jnp.int32).astype(jnp.float32)
+        y = _tf.split_operand_matmul(
+            x, m0_ref[:], m1_ref[:], m2_ref[:], b_ref[:]
+        )
     if adaptive:
         # scale_ref carries the RECIPROCAL adaptive scale, computed once in
         # XLA; one multiply + select keeps rounding bit-identical to the
         # einsum path (no compiler-dependent FMA contraction). Expand
-        # (R, 2) -> (R, 128) by half-select — pltpu.repeat TILES (abab...),
-        # it does not element-repeat.
-        r = jnp.where(
-            half == 0, scale_ref[0][:, 0:1], scale_ref[0][:, 1:2]
-        )  # (R, 128)
+        # (R, bpr) -> (R, 128) with the SHARED select helper — pltpu.repeat
+        # TILES (abab...), it does not element-repeat.
+        r = _tf.expand_block_scale(scale_ref[0], min(n2, 128))  # (R, 128)
         y = jnp.where(pos != 0, y * r, y)
     zz = _round_half_away_i32(y)
 
     if dc_prediction:
         # stripe-local DC DPCM (models/codec.py dc_predict): block b's DC
-        # becomes dc[b] - dc[b-1] in stripe-linear order (2*row + half).
-        # Lane 0 / lane 64 hold the row's two DCs: the right-half block's
-        # predecessor is the same row's lane-0 DC; the left-half block's is
-        # the PREVIOUS row's lane-64 DC (row 0 stays raw). Integer-exact,
-        # so the stream stays byte-identical to the staged pipeline.
-        dc0 = jnp.sum(jnp.where(lane == 0, zz, 0), axis=1, keepdims=True)
-        dc1 = jnp.sum(jnp.where(lane == 64, zz, 0), axis=1, keepdims=True)
-        prev0 = jnp.where(ridx1 >= 1, pltpu.roll(dc1, 1, axis=0), 0)
-        zz = zz - jnp.where(lane == 0, prev0, jnp.where(lane == 64, dc0, 0))
+        # becomes dc[b] - dc[b-1] in stripe-linear order (bpr*row + sub).
+        # A lane-roll by n2 aligns each DC with its successor block's DC
+        # lane in the same row; the row's FIRST block (lane < n2) takes the
+        # circular wrap of the PREVIOUS row instead = that row's last DC
+        # (row 0 stays raw). Integer-exact, so the stream stays
+        # byte-identical to the staged pipeline.
+        dcv = jnp.where(pos == 0, zz, 0)
+        if n2 == 256:
+            # DC sits at (even row, lane 0); the previous block is 2 rows up
+            pred = jnp.where(ridx1 >= 2, pltpu.roll(dcv, 2, axis=0), 0)
+        else:
+            s_roll = pltpu.roll(dcv, n2, axis=1)
+            prev_row = pltpu.roll(s_roll, 1, axis=0)
+            pred = jnp.where(
+                lane >= n2, s_roll, jnp.where(ridx1 >= 1, prev_row, 0)
+            )
+        zz = zz - jnp.where(pos == 0, pred, 0)
 
     # ---- 2. RLE (segmented scans) ----------------------------------------
     mask = (zz != 0) & live
     m1 = jnp.where(mask, pos, -1)
-    for step in (1, 2, 4, 8, 16, 32):
-        m1 = jnp.maximum(
-            m1, jnp.where(pos >= step, pltpu.roll(m1, step, axis=1), -1)
+    if n2 == 256:
+        # full-row scan per half, then fold the even row's running max into
+        # its odd row (the block's second half continues the first's scan)
+        for step in (1, 2, 4, 8, 16, 32, 64):
+            m1 = jnp.maximum(
+                m1, jnp.where(lane >= step, pltpu.roll(m1, step, axis=1), -1)
+            )
+        rowmax = jnp.max(m1, axis=1, keepdims=True)
+        prevmax = pltpu.roll(rowmax, 1, axis=0)
+        odd1 = (ridx1 & 1) == 1
+        m1 = jnp.where(odd1, jnp.maximum(m1, prevmax), m1)
+        pnz = jnp.where(
+            lane >= 1, pltpu.roll(m1, 1, axis=1),
+            jnp.where(odd1, prevmax, -1),
         )
-    pnz = jnp.where(pos >= 1, pltpu.roll(m1, 1, axis=1), -1)
-    is_sym = (mask | (pos == 63)) & live
-    term = (pos == 63) & jnp.logical_not(mask) & live
+    else:
+        step = 1
+        while step < n2:
+            m1 = jnp.maximum(
+                m1, jnp.where(pos >= step, pltpu.roll(m1, step, axis=1), -1)
+            )
+            step *= 2
+        pnz = jnp.where(pos >= 1, pltpu.roll(m1, 1, axis=1), -1)
+    is_sym = (mask | (pos == n2 - 1)) & live
+    term = (pos == n2 - 1) & jnp.logical_not(mask) & live
     run = jnp.where(is_sym, pos - pnz - 1 + term.astype(jnp.int32), 0)
     v = jnp.where(is_sym, zz, 0)
 
@@ -255,24 +318,23 @@ def _fused_kernel(
     t3 = la + lb + lc
 
     # ---- 4. stream bit offsets --------------------------------------------
+    # FULL-ROW inclusive prefix of per-symbol bit lengths (t3): the stream
+    # is sequential across the whole row regardless of block size, so one
+    # 128-lane scan replaces the round-1 per-segment scan + block-total
+    # assembly (identical integers — exact int adds in any association).
     pi = t3
-    for step in (1, 2, 4, 8, 16, 32):
-        pi = pi + jnp.where(pos >= step, pltpu.roll(pi, step, axis=1), 0)
-    pex = pi - t3  # exclusive within 64-segment
-    at63 = pos == 63
-    bt0 = jnp.max(jnp.where(at63 & (half == 0), pi, 0), axis=1, keepdims=True)
-    bt1 = jnp.max(jnp.where(at63 & (half == 1), pi, 0), axis=1, keepdims=True)
-    rt = bt0 + bt1  # (R, 1) bits per row
+    for step in (1, 2, 4, 8, 16, 32, 64):
+        pi = pi + jnp.where(lane >= step, pltpu.roll(pi, step, axis=1), 0)
+    rt = jnp.max(pi, axis=1, keepdims=True)  # (R, 1) bits per row
     rp = rt
     step = 1
     while step < R:
         rp = rp + jnp.where(ridx1 >= step, pltpu.roll(rp, step, axis=0), 0)
         step *= 2
-    rp_ex = rp - rt  # exclusive bit base of row's first block
+    rp_ex = rp - rt  # exclusive bit base of row's first symbol
     bits_ref[0, 0, 0] = jnp.max(rp)
 
-    block_base = jnp.where(half == 0, rp_ex, rp_ex + bt0)  # (R, 128) bcast
-    off = block_base + pex  # bit offset of the symbol's fused window
+    off = rp_ex + (pi - t3)  # bit offset of the symbol's fused window
 
     # ---- fused window digits ----------------------------------------------
     # V = (code<<cat | extra)<<lc | runfield, L3 = t3 <= 39 bits, placed at
@@ -401,29 +463,34 @@ def encode_stripes_fused(
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
 ) -> PackedStripes:
-    """(NB, 64) u8 blocks -> packed stripes, entirely on device.
+    """(NB, n2) u8 blocks -> packed stripes, entirely on device.
 
     Semantically identical (byte-identical streams) to
     rle_encode_positional + symbol_chunks + pack_chunks, fused with the
-    transform. Requires block_size 8 and category mode. run_lengths/
-    run_codes: (65,) canonical run table — runs 0..63 plus the all-zero-
-    block terminal run 64 — for cfg.coded_runs.
+    transform. Requires block_size 4 or 8 (n2 dividing the 128-lane row)
+    and category mode. run_lengths/run_codes: (65,) canonical run table —
+    runs 0..63 plus the all-zero-block terminal run 64 — for
+    cfg.coded_runs.
     """
     from dct_tpu.ops import bitstream as bs
 
     nb, n2 = pixels.shape
-    if n2 != 64:
-        raise ValueError("fused encode kernel requires 8x8 blocks")
+    if n2 not in (16, 64, 256):
+        raise ValueError("fused encode kernel requires 4x4/8x8/16x16 blocks")
     bps = nb // n_stripes  # blocks per stripe
+    rows_per_block = 2 if n2 == 256 else 1
+    bpr = max(1, 128 // n2)  # whole blocks per row (1 row-pair for 16x16)
 
-    rows_live = -(-bps // 2)
+    rows_live = -(-bps * rows_per_block // bpr) if n2 != 256 else 2 * bps
     R = -(-rows_live // 8) * 8
-    px = pixels.reshape(n_stripes, bps, 64)
-    pad_blocks = 2 * R - bps
+    blocks_padded = R * bpr // rows_per_block
+    px = pixels.reshape(n_stripes, bps, n2)
+    pad_blocks = blocks_padded - bps
     if pad_blocks:
         px = jnp.pad(px, ((0, 0), (0, pad_blocks), (0, 0)))
     px = px.reshape(n_stripes, R, 128)
 
+    scale_cols = 1 if n2 == 256 else bpr
     if cfg.adaptive:
         if adaptive_scale is None:
             raise ValueError("adaptive fused encode requires adaptive_scale")
@@ -431,12 +498,23 @@ def encode_stripes_fused(
         s = (1.0 / adaptive_scale.astype(jnp.float32)).reshape(n_stripes, bps)
         if pad_blocks:
             s = jnp.pad(s, ((0, 0), (0, pad_blocks)), constant_values=1.0)
-        s = s.reshape(n_stripes, R, 2)
+        if n2 == 256:  # one scale per block, rows hold half-blocks
+            s = jnp.repeat(s, 2, axis=1)
+        s = s.reshape(n_stripes, R, scale_cols)
     else:
-        s = jnp.ones((n_stripes, R, 2), jnp.float32)
+        s = jnp.ones((n_stripes, R, scale_cols), jnp.float32)
 
-    em0, em1, em2, eb = tpk._packed_encode_operator_split(cfg, chroma=chroma)
-    units_capacity = bps * bs.UNITS_PER_BLOCK_WORST
+    if n2 == 256:
+        from dct_tpu import tables as _tables
+
+        parts = _tables.fused_encode_operator_split(cfg, chroma=chroma)
+        em0, em1, em2 = parts[0], parts[1], parts[2]  # (256, 256) bf16
+        eb = np.asarray(parts[3], np.float32).reshape(2, 128)
+    else:
+        em0, em1, em2, eb = tpk._packed_encode_operator_split(
+            cfg, chroma=chroma
+        )
+    units_capacity = bps * bs.units_per_block_worst(n2)
     U_pad = -(-(units_capacity + ROW_SPAN) // 128) * 128
 
     lens3 = cat_lengths.astype(jnp.int32).reshape(1, 1, -1)
@@ -454,9 +532,10 @@ def encode_stripes_fused(
         _fused_kernel,
         n_live_blocks=bps,
         adaptive=cfg.adaptive,
-        run_bits=8,
+        run_bits=bs.run_field_bits(n2),
         coded_runs=cfg.coded_runs,
         dc_prediction=cfg.dc_prediction,
+        n2=n2,
     )
     units, bits = pl.pallas_call(
         kernel,
@@ -467,11 +546,11 @@ def encode_stripes_fused(
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, 2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(eb.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, scale_cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, 1, U_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -22,6 +22,8 @@ accurate enough to match the float64 C oracle after integer rounding
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -80,6 +82,83 @@ def level_unshift(x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+PACKED_N2 = (4, 16, 64)  # block sizes whose n2 divides the 128-lane row
+
+
+def _block_diag(m: np.ndarray, copies: int) -> np.ndarray:
+    """copies x copies block-diagonal tiling of m (n2 x n2) -> 128 x 128."""
+    n2 = m.shape[0]
+    out = np.zeros((copies * n2, copies * n2), m.dtype)
+    for i in range(copies):
+        out[i * n2 : (i + 1) * n2, i * n2 : (i + 1) * n2] = m
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def packed_encode_operator_split(cfg: CodecConfig, chroma: bool = False):
+    """Block-diagonal bf16 split parts (three (128,128)) + (1,128) f32 bias.
+
+    128 // n2 whole blocks ride per 128-lane row. The STAGED XLA path and
+    the Mosaic kernels both contract over the SAME padded K=128 axis —
+    the f32 accumulation tree of a K=n2 dot and a K=128 dot are not
+    guaranteed to round identically at exact ties (observed: one +-1
+    pixel at N=4), so sharing the packed formula is what makes
+    fused-vs-staged byte-identity hold by construction for every N in
+    PACKED_N2.
+    """
+    parts = []
+    for part in tables.fused_encode_operator_split(cfg, chroma=chroma)[:3]:
+        parts.append(_block_diag(part, 128 // part.shape[0]))
+    _, b = tables.fused_encode_operator(cfg, chroma=chroma)
+    b2 = np.tile(np.asarray(b, np.float32), 128 // b.shape[0])[None, :]
+    return parts[0], parts[1], parts[2], b2
+
+
+@functools.lru_cache(maxsize=None)
+def packed_decode_operator(cfg: CodecConfig, chroma: bool = False):
+    """Block-diagonal (128, 128) fused decode matrix (+128 bias scalar)."""
+    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
+    return _block_diag(np.asarray(m, np.float32), 128 // m.shape[0]), float(b)
+
+
+@functools.lru_cache(maxsize=None)
+def packed_ac_mask(n2: int) -> np.ndarray:
+    """(1, 128) mask: 0 at each block's DC lane, 1 elsewhere."""
+    mask = np.ones((1, 128), np.float32)
+    mask[0, ::n2] = 0.0
+    return mask
+
+
+def expand_block_scale(s: jax.Array, n2: int) -> jax.Array:
+    """(rows, bpr) per-block scalar -> (rows, 128) lanewise. One canonical
+    op sequence (broadcast + where chain) shared by XLA and Mosaic — NOT
+    pltpu.repeat, which tiles (abab...) instead of element-repeating."""
+    rows, bpr = s.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1) // n2
+    out = jnp.broadcast_to(s[:, 0:1], (rows, 128))
+    for j in range(1, bpr):
+        out = jnp.where(sub == j, s[:, j : j + 1], out)
+    return out
+
+
+def pack_rows(x: jax.Array) -> tuple[jax.Array, int]:
+    """(B, n2) -> ((ceil(B/bpr), 128) packed rows, original B)."""
+    B, n2 = x.shape
+    bpr = 128 // n2
+    rows = -(-B // bpr)
+    pad = rows * bpr - B
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x.reshape(rows, 128), B
+
+
+def _pad_scale(s: jax.Array, rows: int, bpr: int) -> jax.Array:
+    pad = rows * bpr - s.shape[0]
+    if pad:
+        s = jnp.pad(s, (0, pad), constant_values=1.0)
+    return s.reshape(rows, bpr)
+
+
 def split_operand_matmul(x, m0, m1, m2, b) -> jax.Array:
     """The canonical split-operand encode matmul: f32 accumulation of three
     default-precision bf16 passes (see tables.fused_encode_operator_split).
@@ -125,31 +204,68 @@ def encode_blocks(
 
     The matmul is the split-operand form (tables.fused_encode_operator_split):
     pixels are exact in bf16, the operator rides as three bf16 terms — half
-    the MXU passes of f32 HIGHEST at the same oracle-parity accuracy. The
-    sum order here is THE canonical one; the Pallas kernels replicate it
-    exactly (byte-identity contract).
+    the MXU passes of f32 HIGHEST at the same oracle-parity accuracy. For
+    n2 in PACKED_N2 the computation runs in the packed-row block-diagonal
+    form — the SAME K=128 contraction the Pallas kernels perform — so
+    fused-vs-staged byte-identity holds by construction (see
+    packed_encode_operator_split).
     """
-    y = split_operand_matmul(
-        pixels_flat, *tables.fused_encode_operator_split(cfg, chroma=chroma)
-    )
+    r = None
     if cfg.adaptive:
         if adaptive_scale is not None:
-            s = adaptive_scale.astype(y.dtype)  # (B,) wire-exact scale
+            s = adaptive_scale.astype(jnp.float32)  # (B,) wire-exact scale
         elif block_variance is not None:
             from dct_tpu.ops.quant import adaptive_quant_scale
 
-            s = adaptive_quant_scale(block_variance).astype(y.dtype)  # (B,)
+            s = adaptive_quant_scale(block_variance).astype(jnp.float32)
         else:
             raise ValueError("adaptive quantization requires block_variance")
-        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # (N^2,), 0 at DC
         # quantize divides by (q * s) for AC -> multiply the q-normalized
         # coefficient by 1/s (quantization.c:190, :124). Applied as ONE
         # multiply + select (never an add/mul chain a compiler could fuse
         # into an FMA) so XLA and the Mosaic kernels round identically —
         # the byte-identity contract between the einsum path and the fused
         # Pallas encode kernel depends on this.
-        r = (1.0 / s)[:, None]
-        y = jnp.where(ac[None, :] != 0, y * r, y)
+        r = 1.0 / s
+    n2 = cfg.n2
+    if n2 in PACKED_N2:
+        bpr = 128 // n2
+        x2, B = pack_rows(pixels_flat)
+        y = split_operand_matmul(
+            x2, *packed_encode_operator_split(cfg, chroma=chroma)
+        )
+        if r is not None:
+            r2 = expand_block_scale(_pad_scale(r, y.shape[0], bpr), n2)
+            y = jnp.where(jnp.asarray(packed_ac_mask(n2)) != 0, y * r2, y)
+        y = y.reshape(y.shape[0] * bpr, n2)[:B]
+    elif n2 == 256:
+        # 16x16: explicit K=128 split so the contraction association is
+        # IDENTICAL to the fused kernel's quadrant matmuls (a K=256 dot's
+        # f32 accumulation tree is not guaranteed to round the same way)
+        m0, m1, m2, b = tables.fused_encode_operator_split(
+            cfg, chroma=chroma
+        )
+        xb = pixels_flat.astype(jnp.bfloat16)
+        xlo, xhi = xb[:, :128], xb[:, 128:]
+        y = None
+        for part in (m0, m1, m2):
+            pj = jnp.asarray(part)
+            t = jnp.dot(
+                xlo, pj[:128, :], preferred_element_type=jnp.float32
+            ) + jnp.dot(xhi, pj[128:, :], preferred_element_type=jnp.float32)
+            y = t if y is None else y + t
+        y = y + jnp.asarray(b)
+        if r is not None:
+            ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # 0 at DC
+            y = jnp.where(ac[None, :] != 0, y * r[:, None], y)
+    else:
+        y = split_operand_matmul(
+            pixels_flat,
+            *tables.fused_encode_operator_split(cfg, chroma=chroma),
+        )
+        if r is not None:
+            ac = jnp.asarray(tables.adaptive_scale_mask(cfg))  # 0 at DC
+            y = jnp.where(ac[None, :] != 0, y * r[:, None], y)
     return round_half_away(y).astype(jnp.int32)
 
 
@@ -168,23 +284,40 @@ def decode_blocks(
     ``clip(round(z * s @ M + 128), 0, 255)``.
 
     Returns (B, N^2) uint8 flattened pixel blocks.
+
+    For n2 in PACKED_N2 the dequant+IDCT runs in the packed-row
+    block-diagonal form, sharing the exact contraction with
+    transform_pallas.decode_blocks_pallas (same tie rounding).
     """
-    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
-    z = zz_coeffs.astype(m.dtype)
+    s = None
     if cfg.adaptive:
         if adaptive_scale is not None:
-            s = adaptive_scale.astype(z.dtype)
+            s = adaptive_scale.astype(jnp.float32)
         elif block_variance is not None:
             from dct_tpu.ops.quant import adaptive_quant_scale
 
-            s = adaptive_quant_scale(block_variance).astype(z.dtype)
+            s = adaptive_quant_scale(block_variance).astype(jnp.float32)
         else:
             raise ValueError("adaptive dequantization requires block_variance")
-        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
         # Correct adaptive dequant multiplies AC by (q * s); M already carries
         # q, so apply the extra s on AC inputs (quantization.c:193 double-
         # inverts to the same result — SURVEY.md B1 analysis). One multiply +
         # select, for the same cross-compiler bit-identity as encode_blocks.
+    n2 = cfg.n2
+    if n2 in PACKED_N2:
+        bpr = 128 // n2
+        m2, b = packed_decode_operator(cfg, chroma=chroma)
+        z, B = pack_rows(zz_coeffs.astype(jnp.float32))
+        if s is not None:
+            s2 = expand_block_scale(_pad_scale(s, z.shape[0], bpr), n2)
+            z = jnp.where(jnp.asarray(packed_ac_mask(n2)) != 0, z * s2, z)
+        y = jnp.dot(z, jnp.asarray(m2), precision=_PREC) + b
+        rec = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.uint8)
+        return rec.reshape(z.shape[0] * bpr, n2)[:B]
+    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
+    z = zz_coeffs.astype(m.dtype)
+    if s is not None:
+        ac = jnp.asarray(tables.adaptive_scale_mask(cfg))
         z = jnp.where(ac[None, :] != 0, z * s[:, None], z)
     y = jnp.dot(z, jnp.asarray(m), precision=_PREC) + b  # b carries the +128
     rec = jnp.clip(round_half_away(y), 0.0, 255.0).astype(jnp.uint8)

@@ -58,71 +58,32 @@ def _half(y):
     halfb = (yb & jnp.uint32(0x80000000)) | jnp.uint32(0x3F000000)
     return pltpu.bitcast(halfb, jnp.float32)
 
-BLOCKS_PER_ROW = 2
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+from dct_tpu.ops import transform as _tf
+
+# One source of truth for the packed-row operators and scale expansion:
+# the staged XLA path (ops/transform.py) and these kernels must share the
+# exact same constants and op sequences for byte-identity.
+_packed_encode_operator_split = _tf.packed_encode_operator_split
+_packed_decode_operator = _tf.packed_decode_operator
+_packed_ac_mask = _tf.packed_ac_mask
+_expand_block_scale = _tf.expand_block_scale
+
+
 @functools.lru_cache(maxsize=None)
 def _packed_encode_operator(cfg: CodecConfig, chroma: bool = False):
-    """Block-diagonal (128, 128) fused encode matrix + (1, 128) bias."""
-    m, b = tables.fused_encode_operator(cfg, chroma=chroma)  # (64,64), (64,)
-    n2 = m.shape[0]
-    m2 = np.zeros((2 * n2, 2 * n2), m.dtype)
-    m2[:n2, :n2] = m
-    m2[n2:, n2:] = m
-    b2 = np.concatenate([b, b])[None, :]
-    return m2, b2
-
-
-@functools.lru_cache(maxsize=None)
-def _packed_encode_operator_split(cfg: CodecConfig, chroma: bool = False):
-    """Block-diagonal bf16 split parts (three (128,128)) + (1,128) f32 bias.
-
-    Block-diagonalizing each split part == splitting the block-diagonal
-    operator (zeros are exact in bf16), so the packed kernel computes the
-    same canonical split_operand_matmul as the XLA einsum path.
-    """
-    parts_b = []
-    for part in tables.fused_encode_operator_split(cfg, chroma=chroma)[:3]:
-        n2 = part.shape[0]
-        p2 = np.zeros((2 * n2, 2 * n2), part.dtype)
-        p2[:n2, :n2] = part
-        p2[n2:, n2:] = part
-        parts_b.append(p2)
-    _, b2 = _packed_encode_operator(cfg, chroma=chroma)
-    return parts_b[0], parts_b[1], parts_b[2], np.asarray(b2, np.float32)
-
-
-@functools.lru_cache(maxsize=None)
-def _packed_decode_operator(cfg: CodecConfig, chroma: bool = False):
-    m, b = tables.fused_decode_operator(cfg, chroma=chroma)
-    n2 = m.shape[0]
-    m2 = np.zeros((2 * n2, 2 * n2), m.dtype)
-    m2[:n2, :n2] = m
-    m2[n2:, n2:] = m
-    return m2, float(b)
-
-
-@functools.lru_cache(maxsize=None)
-def _packed_ac_mask(n2: int):
-    """(1, 2*n2) mask: 0 at the two DC columns, 1 elsewhere."""
-    mask = np.ones((1, 2 * n2), np.float32)
-    mask[0, 0] = 0.0
-    mask[0, n2] = 0.0
-    return mask
-
-
-def _expand_block_scale(s):
-    """(ROWS, 2) per-block scalar -> (ROWS, 128): col j gets s[:, j >> 6].
-
-    NOT pltpu.repeat — that tiles (abab...) instead of element-repeating.
-    """
-    rows = s.shape[0]
-    half = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1) >> 6
-    return jnp.where(half == 0, s[:, 0:1], s[:, 1:2])
+    """Unsplit block-diagonal (128, 128) f32 encode matrix + (1, 128) bias
+    (benchmark/experiment use; production kernels take the split parts)."""
+    m, b = tables.fused_encode_operator(cfg, chroma=chroma)
+    copies = 128 // m.shape[0]
+    return _tf._block_diag(np.asarray(m, np.float32), copies), np.tile(
+        np.asarray(b, np.float32), copies
+    )[None, :]
 
 
 def _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref):
@@ -144,16 +105,16 @@ def _encode_kernel(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
 
 
 def _encode_kernel_adaptive(
-    x_ref, m0_ref, m1_ref, m2_ref, b_ref, s_ref, mask_ref, o_ref
+    x_ref, m0_ref, m1_ref, m2_ref, b_ref, s_ref, mask_ref, o_ref, *, n2=64
 ):
     y = _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref)
-    # s_ref: (TILE_ROWS, 2) per-block RECIPROCAL adaptive scale, computed
+    # s_ref: (TILE_ROWS, bpr) per-block RECIPROCAL adaptive scale, computed
     # once in XLA so every path shares the exact division result; applied
     # as one multiply + select (no add/mul chain a compiler could contract
     # into an FMA) — the XLA/Mosaic byte-identity contract depends on it.
-    # Expand (TILE_ROWS, 2) -> (TILE_ROWS, 128) by half-select:
+    # Expand (TILE_ROWS, bpr) -> (TILE_ROWS, 128) by block-select:
     # pltpu.repeat TILES (abab...), it does not element-repeat.
-    r = _expand_block_scale(s_ref[:])
+    r = _expand_block_scale(s_ref[:], n2)
     y = jnp.where(mask_ref[:] != 0, y * r, y)
     o_ref[:] = (y + _half(y)).astype(jnp.int16)
 
@@ -167,9 +128,9 @@ def _decode_kernel(z_ref, m_ref, o_ref):
     o_ref[:] = jnp.clip(y + _half(y), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
+def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref, *, n2=64):
     z = z_ref[:].astype(jnp.float32)
-    s = _expand_block_scale(s_ref[:])
+    s = _expand_block_scale(s_ref[:], n2)
     z = jnp.where(mask_ref[:] != 0, z * s, z)
     y = jnp.dot(z, m_ref[:], preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST) + 128.0
@@ -179,16 +140,18 @@ def _decode_kernel_adaptive(z_ref, m_ref, s_ref, mask_ref, o_ref):
 
 
 def _pack_rows(x: jax.Array) -> tuple[jax.Array, int, int]:
-    """(B, n2) -> (rows_padded, 2*n2) with B padded to 2*TILE_ROWS multiple.
+    """(B, n2) -> (rows_padded, 128) with 128 // n2 blocks per row and the
+    row count padded to a TILE_ROWS multiple.
 
     Returns (packed, original B, padded rows)."""
     B, n2 = x.shape
-    rows = -(-B // BLOCKS_PER_ROW)
+    bpr = 128 // n2
+    rows = -(-B // bpr)
     rows_padded = -(-rows // TILE_ROWS) * TILE_ROWS
-    pad = rows_padded * BLOCKS_PER_ROW - B
+    pad = rows_padded * bpr - B
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
-    return x.reshape(rows_padded, BLOCKS_PER_ROW * n2), B, rows_padded
+    return x.reshape(rows_padded, 128), B, rows_padded
 
 
 def encode_blocks_pallas(
@@ -203,15 +166,17 @@ def encode_blocks_pallas(
     adaptive_scale is the per-block quantize-divisor scale in [1.0, 1.9].
     """
     n2 = cfg.n2
-    if n2 != 64:
-        # Kernel packing assumes n2=64 (two blocks per 128 lanes); other
-        # block sizes take the XLA einsum path.
+    if n2 not in (4, 16, 64):
+        # Kernel packing rides 128 // n2 whole blocks per 128-lane row, so
+        # n2 must divide 128 (N in {2, 4, 8}); other block sizes take the
+        # XLA einsum path.
         from dct_tpu.ops import transform
 
         out = transform.encode_blocks(
             pixels_flat, cfg, adaptive_scale=adaptive_scale, chroma=chroma
         )
         return out.astype(jnp.int16)
+    bpr = 128 // n2
 
     m0, m1, m2, b2 = _packed_encode_operator_split(cfg, chroma=chroma)
     x, B, rows = _pack_rows(pixels_flat)
@@ -231,17 +196,17 @@ def encode_blocks_pallas(
             raise ValueError("adaptive encode requires adaptive_scale")
         # reciprocal in XLA (shared rounding with the einsum path)
         s = 1.0 / adaptive_scale.astype(jnp.float32)
-        pad = rows * BLOCKS_PER_ROW - s.shape[0]
+        pad = rows * bpr - s.shape[0]
         if pad:
             s = jnp.pad(s, (0, pad), constant_values=1.0)
-        s = s.reshape(rows, BLOCKS_PER_ROW)
+        s = s.reshape(rows, bpr)
         out = pl.pallas_call(
-            _encode_kernel_adaptive,
+            functools.partial(_encode_kernel_adaptive, n2=n2),
             in_specs=[
                 pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 mspec, mspec, mspec,
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_ROWS, bpr), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             **kwargs,
@@ -256,7 +221,7 @@ def encode_blocks_pallas(
             ],
             **kwargs,
         )(x, *mats, jnp.asarray(b2))
-    return out.reshape(rows * BLOCKS_PER_ROW, n2)[:B]
+    return out.reshape(rows * bpr, n2)[:B]
 
 
 def decode_blocks_pallas(
@@ -267,12 +232,13 @@ def decode_blocks_pallas(
 ) -> jax.Array:
     """Fused decode on TPU: (B, n^2) int -> (B, n^2) u8 pixels."""
     n2 = cfg.n2
-    if n2 != 64:
+    if n2 not in (4, 16, 64):
         from dct_tpu.ops import transform
 
         return transform.decode_blocks(
             zz_coeffs, cfg, adaptive_scale=adaptive_scale, chroma=chroma
         )
+    bpr = 128 // n2
 
     m2, _ = _packed_decode_operator(cfg, chroma=chroma)
     z, B, rows = _pack_rows(zz_coeffs.astype(jnp.int16))
@@ -294,16 +260,16 @@ def decode_blocks_pallas(
         if adaptive_scale is None:
             raise ValueError("adaptive decode requires adaptive_scale")
         s = adaptive_scale.astype(jnp.float32)
-        pad = rows * BLOCKS_PER_ROW - s.shape[0]
+        pad = rows * bpr - s.shape[0]
         if pad:
             s = jnp.pad(s, (0, pad), constant_values=1.0)
-        s = s.reshape(rows, BLOCKS_PER_ROW)
+        s = s.reshape(rows, bpr)
         out = pl.pallas_call(
-            _decode_kernel_adaptive,
+            functools.partial(_decode_kernel_adaptive, n2=n2),
             in_specs=[
                 pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_ROWS, bpr), lambda i: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             **kwargs,
@@ -317,4 +283,4 @@ def decode_blocks_pallas(
             ],
             **kwargs,
         )(z, jnp.asarray(m2))
-    return out.reshape(rows * BLOCKS_PER_ROW, n2)[:B]
+    return out.reshape(rows * bpr, n2)[:B]

@@ -163,3 +163,51 @@ def test_fused_extreme_pixels():
         np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
     )
     np.testing.assert_array_equal(np.asarray(got.units), np.asarray(want.units))
+
+
+@pytest.mark.parametrize("block", [4, 8, 16])
+@pytest.mark.parametrize(
+    "adaptive,dc,runs,quality",
+    [(False, False, False, 50), (True, True, True, 30), (False, True, False, 90)],
+)
+def test_fused_block_sizes_match_staged(block, adaptive, dc, runs, quality):
+    """Round 2 widened the fused kernel to 4x4 (8 blocks per 128-lane row)
+    and 16x16 (one block per row PAIR, quadrant matmuls + cross-row RLE):
+    every feature combination must stay byte-identical to the staged
+    pipeline at every block size (VERDICT.md next-round item 5)."""
+    n2 = block * block
+    runs = runs and block <= 8  # run-code alphabet covers runs 0..64 only
+    cfg = CodecConfig(
+        quality=quality, block_size=block, adaptive=adaptive,
+        static_tables=True, coded_runs=runs, dc_prediction=dc,
+    )
+    n_stripes, bps = 3, 17
+    nb = n_stripes * bps
+    rng = np.random.default_rng(block * 100 + quality)
+    px = jnp.asarray(rng.integers(0, 256, (nb, n2)).astype(np.uint8))
+    scale = None
+    if adaptive:
+        var = quant.block_variance(transform.level_shift(px))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+    t = hf.default_category_table(quality)
+    lengths = jnp.asarray(t.lengths, jnp.int32)
+    codes = jnp.asarray(t.codes.astype(np.int64), jnp.uint32)
+    rl = rc = None
+    if runs:
+        rt = hf.default_run_table(quality)
+        rl = jnp.asarray(rt.lengths, jnp.int32)
+        rc = jnp.asarray(rt.codes.astype(np.int64), jnp.uint32)
+    zz = transform.encode_blocks(px, cfg, adaptive_scale=scale)
+    if dc:
+        zz = codec.dc_predict(zz, n_stripes)
+    sym = rle.rle_encode_positional(zz)
+    want = codec.encode_pack(sym, cfg, n_stripes, lengths, codes, rl, rc)
+    got = encode_stripes_fused(
+        px, cfg, n_stripes, lengths, codes,
+        adaptive_scale=scale, run_lengths=rl, run_codes=rc,
+    )
+    assert np.array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    w = np.asarray(want.units)
+    assert np.array_equal(np.asarray(got.units)[:, : w.shape[1]], w)
