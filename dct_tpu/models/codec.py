@@ -209,15 +209,14 @@ def _table_arrays(t: hf.CanonicalTable | None):
 
 
 def _fused_kernel_ok(cfg: CodecConfig) -> bool:
-    """Whether the single fused encode kernel applies (TPU + 4x4/8x8/16x16
-    blocks + category entropy, with or without coded runs). Other configs
+    """Whether the single fused encode kernel applies: TPU + 4x4/8x8/16x16
+    blocks, any entropy mode (category / direct via the in-kernel one-hot
+    table gather / raw "none"), with or without coded runs. Other configs
     use the staged pipeline."""
     return (
         cfg.use_pallas
         and jax.default_backend() == "tpu"
         and cfg.block_size in (4, 8, 16)
-        and cfg.use_huffman
-        and cfg.huffman_mode == "category"
     )
 
 
@@ -244,10 +243,12 @@ def encode_fused_step(
         var = quant.block_variance(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
     packed = encode_stripes_fused(
         pixels, cfg, n_stripes, lengths, codes,
         adaptive_scale=scale, chroma=chroma,
         run_lengths=run_lengths, run_codes=run_codes,
+        vmin=DIRECT_VMIN if mode == "direct" else 0,
     )
     return packed, var_codes
 

@@ -147,11 +147,12 @@ def _round_half_away_i32(x):
 
 
 def _fused_kernel(
-    len_ref, code_ref, rlen_ref, rcode_ref, px_ref, m0_ref, m1_ref, m2_ref,
-    b_ref, scale_ref,
-    units_ref, bits_ref, scr_k, scr_d, scr_base,
-    *, n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
-    dc_prediction: bool, n2: int = 64,
+    len_ref, code_ref, rlen_ref, rcode_ref, dtab_ref, px_ref,
+    m0_ref, m1_ref, m2_ref, b_ref, scale_ref,
+    units_ref, bits_ref, scr_k, scr_d, scr_base, *extra_scr,
+    n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
+    dc_prediction: bool, n2: int = 64, mode: str = "category",
+    vmin: int = 0, n_alpha: int = 0,
 ):
     """One grid cell = one stripe. See module docstring.
 
@@ -285,21 +286,63 @@ def _fused_kernel(
     run = jnp.where(is_sym, pos - pnz - 1 + term.astype(jnp.int32), 0)
     v = jnp.where(is_sym, zz, 0)
 
-    # ---- 3. categories / codes / extras ----------------------------------
-    a = jnp.abs(v)
-    cat = jnp.zeros_like(a)
-    for c in range(15):
-        cat = cat + (a >= (1 << c)).astype(jnp.int32)
-    la = jnp.zeros_like(cat)
-    ca = jnp.zeros_like(cat)
-    for c in range(16):
-        sel = cat == c
-        la = la + jnp.where(sel, len_ref[0, 0, c], 0)
-        ca = ca + jnp.where(sel, code_ref[0, 0, c], 0)
-    la = jnp.where(is_sym, la, 0)
-    adj = jnp.where(v < 0, v + (1 << cat) - 1, v)
-    bv = adj & ((1 << cat) - 1)
-    lb = jnp.where(is_sym, cat, 0)
+    # ---- 3. symbol fields (mode-dependent) --------------------------------
+    # Every mode reduces to four per-symbol fields: a CODE (ca, la bits),
+    # an EXTRA/raw payload (bv, lb bits), and the run field (rv, lc bits).
+    if mode == "category":
+        a = jnp.abs(v)
+        cat = jnp.zeros_like(v)
+        for c in range(15):
+            cat = cat + (a >= (1 << c)).astype(jnp.int32)
+        la = jnp.zeros_like(cat)
+        ca = jnp.zeros_like(cat)
+        for c in range(16):
+            sel = cat == c
+            la = la + jnp.where(sel, len_ref[0, 0, c], 0)
+            ca = ca + jnp.where(sel, code_ref[0, 0, c], 0)
+        la = jnp.where(is_sym, la, 0)
+        adj = jnp.where(v < 0, v + (1 << cat) - 1, v)
+        bv = adj & ((1 << cat) - 1)
+        lb = jnp.where(is_sym, cat, 0)
+    elif mode == "direct":
+        # per-value canonical code over the [vmin, -vmin] alphabet + ESC:
+        # the 513-entry table cannot be gathered per-lane on v5e, so a
+        # per-row one-hot MXU contraction against the (640, 4) byte-plane
+        # table does it (scr_g: [idx | len | code] row groups). ESC symbols
+        # append the raw 16-bit value as the EXTRA field.
+        scr_g = extra_scr[0]
+        shifted = v - vmin
+        in_range = (shifted >= 0) & (shifted < n_alpha)
+        esc = is_sym & jnp.logical_not(in_range)
+        scr_g[pl.ds(0, R), :] = jnp.where(
+            in_range & is_sym, shifted, n_alpha
+        )
+        u640 = jax.lax.broadcasted_iota(jnp.int32, (128, 640), 1)
+
+        def gbody(r, _):
+            idv = scr_g[pl.ds(r, 1), :].reshape(128, 1)
+            oh = (idv == u640).astype(jnp.float32)
+            gt = jnp.dot(
+                oh, dtab_ref[:], preferred_element_type=jnp.float32
+            )  # (128, 4): [len, code_hi, code_lo, 0] — exact (bytes)
+            lrow = gt[:, 0:1].astype(jnp.int32).reshape(1, 128)
+            crow = (gt[:, 1:2] * 256.0 + gt[:, 2:3]).astype(
+                jnp.int32
+            ).reshape(1, 128)
+            scr_g[pl.ds(R + r, 1), :] = lrow
+            scr_g[pl.ds(2 * R + r, 1), :] = crow
+            return 0
+
+        jax.lax.fori_loop(0, R, gbody, 0)
+        la = jnp.where(is_sym, scr_g[pl.ds(R, R), :], 0)
+        ca = jnp.where(is_sym, scr_g[pl.ds(2 * R, R), :], 0)
+        lb = jnp.where(esc, 16, 0)
+        bv = jnp.where(esc, v & 0xFFFF, 0)
+    else:  # none: raw 16-bit two's-complement value, no code table
+        la = jnp.where(is_sym, 16, 0)
+        ca = jnp.where(is_sym, v & 0xFFFF, 0)
+        lb = jnp.zeros_like(v)
+        bv = jnp.zeros_like(v)
     if coded_runs:
         # run field gets its own canonical code (<= 8 bits, so every
         # worst-case shape matches the fixed-run layout): 64 selects
@@ -337,17 +380,19 @@ def _fused_kernel(
     off = rp_ex + (pi - t3)  # bit offset of the symbol's fused window
 
     # ---- fused window digits ----------------------------------------------
-    # V = (code<<cat | extra)<<lc | runfield, L3 = t3 <= 39 bits, placed at
-    # frame bits [sh, sh+L3) of a 64-bit MSB-first frame starting at unit
-    # off>>4 (lc = 8 fixed, or the dynamic run-code length <= 8). Emulate
-    # the 64-bit frame with two 32-bit contributions:
-    #   T = code<<cat | extra (< 2^31) shifted by nT = 64 - sh - L3 + lc
-    #   runfield              (< 2^8)  shifted by nR = 64 - sh - L3
+    # Frame layout per symbol: CODE (la bits) | EXTRA/raw (lb) | RUN (lc),
+    # L3 = t3 <= 41 bits, placed at frame bits [sh, sh+L3) of a 64-bit
+    # MSB-first frame starting at unit off>>4. Emulated with two 32-bit
+    # contributions (Mosaic lanes are 32-bit):
+    #   T = code           (< 2^16) shifted by nT = 64 - sh - t3 + lb + lc
+    #   X = extra<<lc|run  (< 2^26) shifted by nX = 64 - sh - t3
+    # (T's extent ends at bit sh+la <= 31 < 48: T never reaches digit 3.)
     # Digit j = frame bits [16j, 16j+16) = (frame >> (48 - 16j)) & 0xFFFF.
     sh = off & 15
-    T = jnp.where(is_sym, (ca << lb) | bv, 0)
-    nT = 64 - sh - t3 + lc
-    nR = 64 - sh - t3
+    T = jnp.where(is_sym, ca, 0)
+    X = jnp.where(is_sym, (bv << lc) | rv, 0)
+    nT = 64 - sh - t3 + lb + lc
+    nX = 64 - sh - t3
 
     def digit(x, n, j):
         # (x << n) >> (48 - 16 j) & 0xFFFF with lane-dynamic n, overflow-free
@@ -362,9 +407,9 @@ def _fused_kernel(
     base_vec = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row (R, 1)
     scr_base[:] = base_vec
 
-    def write_digits(Tv, nTv, rvv, nRv):
+    def write_digits(Tv, nTv, Xv, nXv):
         for j in range(4):
-            d = digit(rvv, nRv, j)
+            d = digit(Xv, nXv, j)
             if j < 3:  # T's frame extent ends at bit sh+31 < 48: no digit 3
                 d = d | digit(Tv, nTv, j)
             scr_d[pl.ds(2 * j * R, R), :] = (d >> 8).astype(jnp.float32)
@@ -431,17 +476,17 @@ def _fused_kernel(
         live_mask = lane < livecnt
         planes = [
             jnp.where(live_mask, p, 0) for p in
-            _compact_rows([kmat, T, nT, rv, nR], is_sym, lane)
+            _compact_rows([kmat, T, nT, X, nX], is_sym, lane)
         ]
-        km, Tm, nTm, rvm, nRm = _merge_pairs(planes, livecnt, lane)
+        km, Tm, nTm, Xm, nXm = _merge_pairs(planes, livecnt, lane)
         scr_k[:] = km
-        write_digits(Tm, nTm, rvm, nRm)
+        write_digits(Tm, nTm, Xm, nXm)
         pack_loop(FAST_SPAN, 2)  # even rows carry the merged pairs
 
     @pl.when(jnp.logical_not(pair_ok))
     def _unpaired():
         scr_k[:] = kmat
-        write_digits(T, nT, rv, nR)
+        write_digits(T, nT, X, nX)
 
         @pl.when(span_need <= FAST_SPAN)
         def _mid():
@@ -462,6 +507,7 @@ def encode_stripes_fused(
     chroma: bool = False,
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
+    vmin: int = 0,
 ) -> PackedStripes:
     """(NB, n2) u8 blocks -> packed stripes, entirely on device.
 
@@ -517,8 +563,28 @@ def encode_stripes_fused(
     units_capacity = bps * bs.units_per_block_worst(n2)
     U_pad = -(-(units_capacity + ROW_SPAN) // 128) * 128
 
-    lens3 = cat_lengths.astype(jnp.int32).reshape(1, 1, -1)
-    codes3 = cat_codes.astype(jnp.int32).reshape(1, 1, -1)
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    n_alpha = 0
+    if mode == "direct":
+        # (640, 4) f32 byte-plane table [len, code_hi, code_lo, 0] for the
+        # in-kernel one-hot MXU gather; alphabet = 511 values + ESC
+        n_alpha = int(cat_lengths.shape[0]) - 1
+        dtab = jnp.zeros((640, 4), jnp.float32)
+        dl = cat_lengths.astype(jnp.float32)
+        dc_ = cat_codes.astype(jnp.int32)
+        dtab = dtab.at[: n_alpha + 1, 0].set(dl)
+        dtab = dtab.at[: n_alpha + 1, 1].set(((dc_ >> 8) & 255).astype(jnp.float32))
+        dtab = dtab.at[: n_alpha + 1, 2].set((dc_ & 255).astype(jnp.float32))
+        lens3 = jnp.zeros((1, 1, 16), jnp.int32)
+        codes3 = jnp.zeros((1, 1, 16), jnp.int32)
+    elif mode == "category":
+        dtab = jnp.zeros((640, 4), jnp.float32)
+        lens3 = cat_lengths.astype(jnp.int32).reshape(1, 1, -1)
+        codes3 = cat_codes.astype(jnp.int32).reshape(1, 1, -1)
+    else:  # none
+        dtab = jnp.zeros((640, 4), jnp.float32)
+        lens3 = jnp.zeros((1, 1, 16), jnp.int32)
+        codes3 = jnp.zeros((1, 1, 16), jnp.int32)
     if cfg.coded_runs:
         if run_lengths is None:
             raise ValueError("coded_runs fused encode requires a run table")
@@ -536,7 +602,17 @@ def encode_stripes_fused(
         coded_runs=cfg.coded_runs,
         dc_prediction=cfg.dc_prediction,
         n2=n2,
+        mode=mode,
+        vmin=vmin,
+        n_alpha=n_alpha,
     )
+    scratch = [
+        pltpu.VMEM((R, 128), jnp.int32),
+        pltpu.VMEM((8 * R, 128), jnp.float32),
+        pltpu.VMEM((R, 1), jnp.int32),
+    ]
+    if mode == "direct":
+        scratch.append(pltpu.VMEM((3 * R, 128), jnp.int32))
     units, bits = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
@@ -545,6 +621,7 @@ def encode_stripes_fused(
             pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((640, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -560,11 +637,7 @@ def encode_stripes_fused(
             jax.ShapeDtypeStruct((n_stripes, 1, U_pad), jnp.int32),
             jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((R, 128), jnp.int32),
-            pltpu.VMEM((8 * R, 128), jnp.float32),
-            pltpu.VMEM((R, 1), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=n_stripes
@@ -573,7 +646,7 @@ def encode_stripes_fused(
             transcendentals=0,
         ),
     )(
-        lens3, codes3, rlens3, rcodes3, px,
+        lens3, codes3, rlens3, rcodes3, dtab, px,
         jnp.asarray(em0), jnp.asarray(em1), jnp.asarray(em2),
         jnp.asarray(eb), s,
     )

@@ -211,3 +211,47 @@ def test_fused_block_sizes_match_staged(block, adaptive, dc, runs, quality):
     )
     w = np.asarray(want.units)
     assert np.array_equal(np.asarray(got.units)[:, : w.shape[1]], w)
+
+
+@pytest.mark.parametrize("mode", ["none", "direct"])
+def test_fused_direct_and_none_modes_match_staged(mode):
+    """Round 2 extended the fused kernel beyond category entropy: raw
+    16-bit "none" mode and per-value "direct" mode (513-entry alphabet
+    gathered by an in-kernel one-hot MXU contraction, ESC appending the
+    raw 16-bit value). Byte-identity vs the staged pipeline."""
+    use_h = mode != "none"
+    cfg = CodecConfig(
+        quality=40, use_huffman=use_h,
+        huffman_mode=mode if use_h else "category",
+    )
+    n_stripes, bps = 3, 17
+    nb = n_stripes * bps
+    rng = np.random.default_rng(99)
+    px = jnp.asarray(rng.integers(0, 256, (nb, 64)).astype(np.uint8))
+    zz = transform.encode_blocks(px, cfg)
+    sym = rle.rle_encode_positional(zz)
+    vmin = 0
+    if mode == "direct":
+        vals = np.asarray(sym.values)[np.asarray(sym.is_sym)]
+        hist = np.ones(513, np.int64)
+        for v in vals:
+            idx = v - codec.DIRECT_VMIN
+            if 0 <= idx < 511:
+                hist[idx] += 3
+        hist[511] += 5  # ESC
+        t = hf.CanonicalTable.from_frequencies(hist)
+        lengths = jnp.asarray(t.lengths, jnp.int32)
+        codes = jnp.asarray(t.codes.astype(np.int64), jnp.uint32)
+        vmin = codec.DIRECT_VMIN
+    else:
+        lengths = jnp.zeros(1, jnp.int32)
+        codes = jnp.zeros(1, jnp.uint32)
+    want = codec.encode_pack(sym, cfg, n_stripes, lengths, codes, None, None)
+    got = encode_stripes_fused(
+        px, cfg, n_stripes, lengths, codes, vmin=vmin
+    )
+    w = np.asarray(want.units)
+    assert np.array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    assert np.array_equal(np.asarray(got.units)[:, : w.shape[1]], w)
