@@ -3,10 +3,9 @@
 
 Phase 1 (jax, once): per (image, quality) category + run histograms over
 the real rasters in tests/data/ and synthetic photos -> /tmp cache.
-Phase 2 (numpy): for each quality band, sweep blend weights between the
-current pseudo-freq priors and the band-mean histogram, scoring each
-candidate by the WORST per-cell excess bits vs that cell's own optimal
-(dynamic) table:
+Phase 2 (numpy): for each quality band, run a multiplicative-weights
+minimax from the band-mean histogram, scoring each candidate by the WORST
+per-cell excess bits vs that cell's own optimal (dynamic) table:
 
     bits(table; cell) = sum_c h_cat[c] * (len_cat[c] + c)
                       + sum_r h_run[r] * len_run[r]
@@ -40,20 +39,11 @@ def collect():
     from dct_tpu.config import CodecConfig
     from dct_tpu.models import codec
     from dct_tpu.utils import image_io
-    import jax.numpy as jnp
-    from dct_tpu.ops import blocks as blk
+    from dct_tpu.models.recovery import _padded_plane as jax_img_pad
 
     def jax_img(img, cfg):
-        h, w = int(img.shape[0]), int(img.shape[1])
-        n = cfg.block_size
-        bh, bw, _ = codec._padded_grid(h, w, cfg)
-        im = blk.pad_to_blocks(jnp.asarray(np.asarray(img, np.uint8)), n)
-        ph, pw = bh * n, bw * n
-        if im.shape[0] != ph or im.shape[1] != pw:
-            im = jnp.pad(
-                im, ((0, ph - im.shape[0]), (0, pw - im.shape[1])), mode="edge"
-            )
-        return im
+        # the canonical encode_plane padding (models/recovery._padded_plane)
+        return jax_img_pad(np.asarray(img, np.uint8), cfg)
 
     data = _os.path.join(_REPO_ROOT, "tests", "data")
     imgs = [
@@ -90,9 +80,6 @@ def main() -> int:
     cats, runs = d["cats"], d["runs"]
 
     from dct_tpu.ops import huffman as hf
-
-    cur_cat = hf._DEFAULT_CATEGORY_PSEUDO_FREQS.astype(np.float64)
-    cur_run = hf._DEFAULT_RUN_PSEUDO_FREQS.astype(np.float64)
 
     def lens_from(freqs, max_len):
         t = hf.CanonicalTable.from_frequencies(

@@ -513,10 +513,12 @@ def encode_stripes_fused(
 
     Semantically identical (byte-identical streams) to
     rle_encode_positional + symbol_chunks + pack_chunks, fused with the
-    transform. Requires block_size 4 or 8 (n2 dividing the 128-lane row)
-    and category mode. run_lengths/run_codes: (65,) canonical run table —
-    runs 0..63 plus the all-zero-block terminal run 64 — for
-    cfg.coded_runs.
+    transform. Covers block_size 4/8/16 and every entropy mode: category
+    (cat_lengths/cat_codes = the 16-entry category table), direct
+    (cat_lengths/cat_codes = the 513-entry value table incl. ESC, plus
+    vmin), and none (tables ignored). run_lengths/run_codes: (65,)
+    canonical run table — runs 0..63 plus the all-zero-block terminal
+    run 64 — for cfg.coded_runs (block_size <= 8 only).
     """
     from dct_tpu.ops import bitstream as bs
 

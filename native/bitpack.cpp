@@ -170,7 +170,8 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
   BitReader r{data, nbytes};
   // With the reference-convention fixed run field (8 bits; 9 for 16x16
   // blocks), one peek64 covers the whole symbol (code <=16b + payload
-  // <=16b + run <=9b <= 40 bits, within the >= 57 usable peek bits). With
+  // <=16b + run <=9b = 41 bits worst case, within the >= 57 usable peek
+  // bits). With
   // a coded run (cfg.coded_runs), the run code is decoded from a second
   // peek after consuming the value part — still O(1) via its own LUT.
   const int rbits = run_field_bits(n2);
