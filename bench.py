@@ -115,8 +115,12 @@ def main() -> None:
 
         px = jax.vmap(lambda im: blk.image_to_blocks(im, 8))(frames_dev)
         # double the workload so the K-loop delta dwarfs the ~2 ms tunnel
-        # dispatch jitter (the kernel body is ~0.2 ms at 33 Mpix)
-        px = jnp.concatenate([px, px]).reshape(-1, 64)
+        # dispatch jitter (the kernel body is ~0.2 ms at 33 Mpix); packed
+        # (rows, 128) layout so the measurement times the KERNEL, not the
+        # (B, 64) output-layout copy XLA adds outside the fused path
+        px = jnp.concatenate([px, px]).reshape(-1, 128)
+        rows = -(-px.shape[0] // tpk.TILE_ROWS) * tpk.TILE_ROWS
+        px = jnp.pad(px, ((0, rows - px.shape[0]), (0, 0)))
 
         def make_k(k):
             # Harness hygiene (benchmarks/dct_experiments.py): an
@@ -129,7 +133,7 @@ def main() -> None:
             def run(p):
                 def body(i, acc):
                     pi, _ = jax.lax.optimization_barrier((p, acc))
-                    zz = tpk.encode_blocks_pallas(pi, cfg)
+                    zz = tpk.encode_blocks_pallas(pi, cfg, packed_io=True)
                     return acc + jnp.sum(zz[:1].astype(jnp.int32))
 
                 return jax.lax.fori_loop(0, k, body, jnp.int32(0))
@@ -150,7 +154,7 @@ def main() -> None:
         if tkk <= t1k:
             return float("nan")
         dt_k = (tkk - t1k) / (k2 - k1)
-        gpix = px.shape[0] * 64 / dt_k / 1e9
+        gpix = px.shape[0] * 128 / dt_k / 1e9  # packed rows: 128 px/row
         mxu_bound = 197e12 / (256 * 3) / 1e9  # Gpix/s
         hbm_bound = 819e9 / 3.0 / 1e9
         return gpix / min(mxu_bound, hbm_bound)

@@ -159,11 +159,17 @@ def encode_blocks_pallas(
     cfg: CodecConfig,
     adaptive_scale: jax.Array | None = None,
     chroma: bool = False,
+    packed_io: bool = False,
 ) -> jax.Array:
     """Fused encode on TPU: (B, n^2) u8 -> (B, n^2) int16 zigzag coeffs.
 
     Semantics identical to ops.transform.encode_blocks (tested equal);
     adaptive_scale is the per-block quantize-divisor scale in [1.0, 1.9].
+
+    packed_io: take/return the packed (rows, 128) layout directly (rows
+    must be a TILE_ROWS multiple). XLA inserts a layout-changing COPY for
+    i16 minor-dim-64 outputs, which the production fused path never pays —
+    benchmarks measuring the KERNEL (bench.py's mfu) use this to skip it.
     """
     n2 = cfg.n2
     if n2 not in (4, 16, 64):
@@ -177,9 +183,15 @@ def encode_blocks_pallas(
         )
         return out.astype(jnp.int16)
     bpr = 128 // n2
+    if packed_io:
+        if cfg.adaptive or pixels_flat.shape[-1] != 128:
+            raise ValueError("packed_io: non-adaptive (rows, 128) only")
 
     m0, m1, m2, b2 = _packed_encode_operator_split(cfg, chroma=chroma)
-    x, B, rows = _pack_rows(pixels_flat)
+    if packed_io:
+        x, B, rows = pixels_flat, -1, pixels_flat.shape[0]
+    else:
+        x, B, rows = _pack_rows(pixels_flat)
     grid = (rows // TILE_ROWS,)
     mspec = pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kwargs = dict(
@@ -221,6 +233,8 @@ def encode_blocks_pallas(
             ],
             **kwargs,
         )(x, *mats, jnp.asarray(b2))
+    if packed_io:
+        return out
     return out.reshape(rows * bpr, n2)[:B]
 
 
