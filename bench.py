@@ -48,10 +48,15 @@ def measure_c_baseline() -> float:
         rng = np.random.default_rng(0)
         px = rng.integers(0, 256, (20000, 8, 8)).astype(np.uint8)
         oracle.encode_batch(px[:500], 50)  # warmup
-        t0 = time.perf_counter()
-        oracle.encode_batch(px, 50)
-        dt = time.perf_counter() - t0
-        return px.shape[0] * 64 / dt / 1e6
+        # best-of-3: the 1-core bench host runs other processes, and a
+        # single timing overstates the oracle's cost (vs_baseline jittered
+        # 80-140x across otherwise-identical runs)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            oracle.encode_batch(px, 50)
+            best = min(best, time.perf_counter() - t0)
+        return px.shape[0] * 64 / best / 1e6
     except Exception:
         return C_REF_MPIX_S_FALLBACK
 
