@@ -31,9 +31,11 @@ import time
 
 import numpy as np
 
-# Measured via oracle_encode_batch (-O2, single core) on the round-1 bench
-# host; used only if the oracle cannot be built at bench time.
-C_REF_MPIX_S_FALLBACK = 5.83
+# Measured via oracle_encode_batch (-O2, single core, best-of-3) on the
+# bench host; used only if the oracle cannot be built at bench time.
+# (Round-1's 5.83 was a single contended timing; the uncontended oracle
+# does ~13.9 Mpix/s, so vs_baseline ratios before round 2 ran high.)
+C_REF_MPIX_S_FALLBACK = 13.9
 
 FRAMES = 8
 H, W = 1088, 1920  # 1080p padded to the 8-px grid (136 x 240 blocks)
