@@ -126,8 +126,9 @@ def main() -> None:
         # (rows, 128) layout so the measurement times the KERNEL, not the
         # (B, 64) output-layout copy XLA adds outside the fused path
         px = jnp.concatenate([px, px]).reshape(-1, 128)
-        rows = -(-px.shape[0] // tpk.TILE_ROWS) * tpk.TILE_ROWS
-        px = jnp.pad(px, ((0, rows - px.shape[0]), (0, 0)))
+        n_rows = px.shape[0]  # unpadded: TILE_ROWS pad is not throughput
+        rows = -(-n_rows // tpk.TILE_ROWS) * tpk.TILE_ROWS
+        px = jnp.pad(px, ((0, rows - n_rows), (0, 0)))
 
         def make_k(k):
             # Harness hygiene (benchmarks/dct_experiments.py): an
@@ -161,7 +162,7 @@ def main() -> None:
         if tkk <= t1k:
             return float("nan")
         dt_k = (tkk - t1k) / (k2 - k1)
-        gpix = px.shape[0] * 128 / dt_k / 1e9  # packed rows: 128 px/row
+        gpix = n_rows * 128 / dt_k / 1e9  # packed rows: 128 px/row
         mxu_bound = 197e12 / (256 * 3) / 1e9  # Gpix/s
         hbm_bound = 819e9 / 3.0 / 1e9
         return gpix / min(mxu_bound, hbm_bound)

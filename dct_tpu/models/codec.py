@@ -102,7 +102,7 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
     var_codes = None
     scale = None
     if cfg.adaptive:
-        var = quant.block_variance(transform.level_shift(pixels))
+        var = quant.block_variance_flat(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)
@@ -110,7 +110,8 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
         n_stripes = (image.shape[0] // n) // cfg.stripe_rows
         zz = dc_predict(zz, n_stripes)
     if cfg.use_huffman and cfg.huffman_mode == "direct":
-        # direct mode histograms over a 513-bin alphabet; compacted form
+        # direct mode histograms over a 512-bin alphabet (511 values +
+        # ESC); compacted form
         symbols = rle.rle_encode(zz)
         hist = hf.value_histogram(
             symbols.values, symbols.counts, DIRECT_VMIN, -DIRECT_VMIN
@@ -240,7 +241,7 @@ def encode_fused_step(
     var_codes = None
     scale = None
     if cfg.adaptive:
-        var = quant.block_variance(transform.level_shift(pixels))
+        var = quant.block_variance_flat(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
@@ -280,7 +281,7 @@ def encode_step(
     var_codes = None
     scale = None
     if cfg.adaptive:
-        var = quant.block_variance(transform.level_shift(pixels))
+        var = quant.block_variance_flat(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = _fused_encode(pixels, cfg, scale, chroma)

@@ -141,7 +141,7 @@ def _encode_one_stripe(
     var_codes = None
     scale = None
     if cfg.adaptive:
-        var = quant.block_variance(transform.level_shift(pixels))
+        var = quant.block_variance_flat(transform.level_shift(pixels))
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     zz = codec._fused_encode(pixels, cfg, scale, chroma)

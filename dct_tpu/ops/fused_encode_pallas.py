@@ -305,8 +305,9 @@ def _fused_kernel(
         bv = adj & ((1 << cat) - 1)
         lb = jnp.where(is_sym, cat, 0)
     elif mode == "direct":
-        # per-value canonical code over the [vmin, -vmin] alphabet + ESC:
-        # the 513-entry table cannot be gathered per-lane on v5e, so a
+        # per-value canonical code over the [vmin, -vmin] alphabet + ESC
+        # (512 entries in production: 511 values + ESC; the dtab bound is
+        # 640): the table cannot be gathered per-lane on v5e, so a
         # per-row one-hot MXU contraction against the (640, 4) byte-plane
         # table does it (scr_g: [idx | len | code] row groups). ESC symbols
         # append the raw 16-bit value as the EXTRA field.
@@ -515,7 +516,8 @@ def encode_stripes_fused(
     rle_encode_positional + symbol_chunks + pack_chunks, fused with the
     transform. Covers block_size 4/8/16 and every entropy mode: category
     (cat_lengths/cat_codes = the 16-entry category table), direct
-    (cat_lengths/cat_codes = the 513-entry value table incl. ESC, plus
+    (cat_lengths/cat_codes = the 512-entry value table — 511 values +
+    ESC, up to the 640-entry dtab bound — plus
     vmin), and none (tables ignored). run_lengths/run_codes: (65,)
     canonical run table — runs 0..63 plus the all-zero-block terminal
     run 64 — for cfg.coded_runs (block_size <= 8 only).

@@ -32,20 +32,42 @@ from dct_tpu import tables
 from dct_tpu.ops.transform import round_half_away
 
 
-def block_variance(blocks: jax.Array) -> jax.Array:
-    """Per-block variance E[x^2] - E[x]^2 (quantization.c:153-169).
-
-    blocks: (..., N, N) or (..., N^2); reduces over the trailing block dims.
-    Returns shape (...,) float32.
-    """
-    x = blocks.astype(jnp.float32)
-    if x.ndim >= 2 and x.shape[-1] == x.shape[-2]:
-        axes = (-2, -1)
-    else:
-        axes = (-1,)
+def _variance_over(x: jax.Array, axes: tuple[int, ...]) -> jax.Array:
+    x = x.astype(jnp.float32)
     mean = jnp.mean(x, axis=axes)
     mean_sq = jnp.mean(x * x, axis=axes)
     return mean_sq - mean * mean
+
+
+def block_variance(blocks: jax.Array) -> jax.Array:
+    """Per-block variance E[x^2] - E[x]^2 (quantization.c:153-169).
+
+    Layout contract: NATURAL (..., N, N) blocks — always reduces over the
+    trailing TWO axes. For the production flat layout (..., N^2) use
+    :func:`block_variance_flat`. (An earlier shape heuristic that guessed
+    the layout from ``shape[-1] == shape[-2]`` misread a batch of exactly
+    n^2 flat blocks — e.g. a 64x64 image at N=8 — as one natural block;
+    the two entry points make the contract explicit.)
+
+    Returns shape (...,) float32.
+    """
+    if blocks.ndim < 2:
+        raise ValueError(
+            f"block_variance expects natural (..., N, N) blocks; got shape "
+            f"{blocks.shape}. For flat (..., N^2) rows use block_variance_flat."
+        )
+    return _variance_over(blocks, (-2, -1))
+
+
+def block_variance_flat(blocks: jax.Array) -> jax.Array:
+    """Per-block variance over FLAT (..., N^2) rows (quantization.c:153-169).
+
+    The production encode paths (staged, fused, sharded) all operate on
+    (NB, n^2) flattened blocks; this reduces over the trailing axis only,
+    independent of the batch size (a batch of exactly n^2 blocks is NOT a
+    single natural block). Returns shape (...,) float32.
+    """
+    return _variance_over(blocks, (-1,))
 
 
 def variance_code(variance: jax.Array) -> jax.Array:

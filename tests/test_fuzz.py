@@ -39,8 +39,17 @@ def _random_cfg(rng) -> CodecConfig:
 def test_random_config_roundtrip(seed):
     rng = np.random.default_rng(1000 + seed)
     cfg = _random_cfg(rng)
-    h = int(rng.integers(9, 90))
-    w = int(rng.integers(9, 120))
+    if seed % 3 == 0:
+        # Steer onto the NB == n^2 aliasing lattice (round-2 VERDICT Weak
+        # #1: a batch of exactly n^2 flat blocks crashed adaptive encode).
+        # Under-shoot by a few pixels some of the time so edge padding is
+        # what lands the padded block count on the lattice.
+        side = cfg.block_size * cfg.block_size
+        h = side - int(rng.integers(0, cfg.block_size))
+        w = side - int(rng.integers(0, cfg.block_size))
+    else:
+        h = int(rng.integers(9, 90))
+        w = int(rng.integers(9, 120))
     img = image_io.synthetic_image(h, w, "photo", seed=seed)
 
     data = codec.ImageCodec(cfg).encode(img)

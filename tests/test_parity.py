@@ -248,7 +248,7 @@ class TestFullBlockPipeline:
         epilogue)."""
         cfg = CodecConfig(quality=50, adaptive=adaptive, compat_b1=not adaptive)
         px = jnp.asarray(golden_block.reshape(1, 64))
-        var = quant.block_variance(transform.level_shift(px)) if adaptive else None
+        var = quant.block_variance_flat(transform.level_shift(px)) if adaptive else None
         zz = transform.encode_blocks(px, cfg, block_variance=var)
         want_zz, want_recon, want_bits, want_count = oracle.block_pipeline(
             golden_block, 50, adaptive=adaptive
