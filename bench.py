@@ -160,16 +160,78 @@ def main() -> None:
         k1, k2 = 9, 129
         t1k, tkk = timed_px(make_k(k1)), timed_px(make_k(k2))
         if tkk <= t1k:
-            return float("nan")
+            return float("nan"), float("nan")
         dt_k = (tkk - t1k) / (k2 - k1)
         gpix = n_rows * 128 / dt_k / 1e9  # packed rows: 128 px/row
         mxu_bound = 197e12 / (256 * 3) / 1e9  # Gpix/s
         hbm_bound = 819e9 / 3.0 / 1e9
-        return gpix / min(mxu_bound, hbm_bound)
+        ceiling = min(mxu_bound, hbm_bound)
+
+        # ALSO time the production (B, 64) wrapper, which pays the XLA
+        # layout-changing copy for i16 minor-dim-64 outputs (CLAUDE.md).
+        # The fused production path never materializes that layout, so
+        # `mfu` stays the bare-kernel figure — but the wrapper number
+        # rides in the JSON so the gap stays visible (VERDICT r2 weak #5).
+        px64 = px.reshape(-1, 64)
+
+        def make_k64(k):
+            @jax.jit
+            def run(p):
+                def body(i, acc):
+                    pi, _ = jax.lax.optimization_barrier((p, acc))
+                    zz = tpk.encode_blocks_pallas(pi, cfg)
+                    return acc + jnp.sum(zz[:1].astype(jnp.int32))
+
+                return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+            return run
+
+        def timed_px64(fn):
+            float(fn(px64))
+            t0 = time.perf_counter()
+            for _ in range(4):
+                float(fn(px64))
+            return (time.perf_counter() - t0) / 4
+
+        t1w, tkw = timed_px64(make_k64(k1)), timed_px64(make_k64(k2))
+        if tkw <= t1w:
+            wrap_frac = float("nan")
+        else:
+            dt_w = (tkw - t1w) / (k2 - k1)
+            wrap_frac = (px64.shape[0] * 64 / dt_w / 1e9) / ceiling
+        return gpix / ceiling, wrap_frac
+
+    # ---- e2e decode throughput (VERDICT r3 item 4): host entropy decode
+    # (native C++ when built) + device dequant+IDCT, pixels left on device
+    # (the decode_to_device consumer path). The per-frame device sums are
+    # fetched only after every frame is dispatched, so the ~32 ms tunnel
+    # round trips overlap the host entropy decode of subsequent frames.
+    def measure_decode() -> float:
+        datas = [
+            codec.ImageCodec(cfg).encode(np.asarray(f)) for f in frames
+        ]
+        dec = codec.ImageCodec(cfg)
+
+        def once() -> None:
+            sums = [
+                jnp.sum(dec.decode_to_device(d).astype(jnp.uint32))
+                for d in datas
+            ]
+            for s in sums:
+                float(s)  # scalar fetch = true device sync
+
+        once()  # compile + warm native decoder
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            once()
+            best = min(best, time.perf_counter() - t0)
+        return FRAMES * H * W / best / 1e6
 
     # measure the kernel roofline BEFORE the sustained encode loops — the
     # ordering measurably affects kernel timings through the shared chip
-    mfu = measure_mfu() if on_tpu else float("nan")
+    mfu, mfu_wrapper = measure_mfu() if on_tpu else (float("nan"),) * 2
+    decode_mpix = measure_decode()
 
     t1, tk = timed(step1), timed(stepk)
     if tk <= t1:
@@ -197,6 +259,13 @@ def main() -> None:
         # roofline fraction of the standalone DCT kernel (north-star
         # metric; the headline encode above is entropy/pack-bound)
         out["mfu"] = round(mfu, 3)
+    if mfu_wrapper == mfu_wrapper:
+        # same kernel through the production (B, 64) wrapper, which pays
+        # XLA's i16 minor-dim-64 layout copy (kept visible on purpose)
+        out["mfu_wrapper"] = round(mfu_wrapper, 3)
+    if decode_mpix == decode_mpix:
+        out["decode_value"] = round(decode_mpix, 2)
+        out["decode_unit"] = "Mpix/s"
     print(json.dumps(out))
 
 

@@ -250,15 +250,38 @@ def _hist_fallback(symbols, cfg, nb_real: int):
 def _encode_step_sharded(
     img, cfg: CodecConfig, n_stripes: int, mesh: Mesh, chroma: bool = False
 ):
-    packed, var_codes = _codec.encode_step(img, cfg, n_stripes, chroma)
-    out_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
-    packed = bs.PackedStripes(
-        units=jax.lax.with_sharding_constraint(packed.units, out_sharding),
-        bit_lengths=jax.lax.with_sharding_constraint(
-            packed.bit_lengths, NamedSharding(mesh, P(meshlib.STRIPE_AXIS))
-        ),
+    """shard_map'd static-table encode: each device packs ITS stripes.
+
+    shard_map (not GSPMD auto-partitioning) is load-bearing twice over:
+    (1) stripes are independent by design, but the staged packer's
+    scatter-add has data-dependent indices, and the SPMD partitioner
+    cannot prove they stay shard-local — it lowers a sharded scatter to
+    scatter-into-replicated + all-reduce (2 x ~123 KB for a 16-stripe
+    1080p plane, measured in tests/test_collectives.py). Inside
+    shard_map the scatter is a plain single-device op. (2) a Mosaic
+    kernel under GSPMD has no partitioning rules at all; under shard_map
+    each device runs the fused kernel on its local stripe rows — the
+    standard pallas-under-shard_map composition. Zero collectives
+    either way (asserted by tests/test_collectives.py).
+    """
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    local_stripes = n_stripes // n_dev
+    ps_spec = bs.PackedStripes(
+        units=P(meshlib.STRIPE_AXIS, None),
+        bit_lengths=P(meshlib.STRIPE_AXIS),
     )
-    return packed, var_codes
+    out_specs = (ps_spec, P(meshlib.STRIPE_AXIS) if cfg.adaptive else None)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.STRIPE_AXIS, None),
+        out_specs=out_specs,
+    )
+    def f(local_img):
+        return _codec.encode_step(local_img, cfg, local_stripes, chroma)
+
+    return f(img)
 
 
 def encode_image_sharded(
@@ -397,20 +420,33 @@ def encode_batch_step(
     offset exchange happens in stripe_byte_offsets when assembling).
     """
 
-    @functools.partial(jax.jit, static_argnames=())
-    def step(fr):
-        packed, _ = jax.vmap(
-            lambda im: _codec.encode_step(im, cfg, n_stripes)
-        )(fr)
-        units = jax.lax.with_sharding_constraint(
-            packed.units,
-            NamedSharding(mesh, P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None)),
-        )
-        bits = jax.lax.with_sharding_constraint(
-            packed.bit_lengths,
-            NamedSharding(mesh, P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS)),
-        )
-        return bs.PackedStripes(units=units, bit_lengths=bits)
-
+    step = _batch_step(cfg, n_stripes, mesh)
     frames = jax.device_put(frames, meshlib.frame_sharding(mesh))
     return step(frames)
+
+
+@functools.lru_cache(maxsize=None)
+def _batch_step(cfg: CodecConfig, n_stripes: int, mesh: Mesh):
+    """Jitted shard_map'd dp x sp step (cached per config/mesh; also
+    lowered directly by tests/test_collectives.py to pin zero collectives
+    in the compiled HLO — same reasoning as _encode_step_sharded)."""
+    local_stripes = n_stripes // mesh.shape[meshlib.STRIPE_AXIS]
+    ps_spec = bs.PackedStripes(
+        units=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+        bit_lengths=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+    )
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+        out_specs=ps_spec,
+    )
+    def step(fr):
+        packed, _ = jax.vmap(
+            lambda im: _codec.encode_step(im, cfg, local_stripes)
+        )(fr)
+        return packed
+
+    return step
