@@ -54,13 +54,24 @@ struct CanonicalTable {
     max_len = 0;
     for (int l = 32; l >= 1; --l)
       if (count_by_len[l]) { max_len = l; break; }
-    // first codes (canonical: codes assigned in (length, symbol) order)
-    uint32_t code = 0;
+    // first codes (canonical: codes assigned in (length, symbol) order).
+    // A corrupt table can OVER-subscribe the Kraft sum — canonical codes
+    // would then spill past 2^l and the LUT fill below would write out of
+    // bounds (ASan-caught by tests/test_native_fuzz.py). Validate while
+    // assigning; an invalid table degrades to the empty table, so every
+    // decode_symbol returns -1 and the stripe fails cleanly with err=2.
+    uint64_t code = 0;
     int index = 0;
     for (int l = 1; l <= max_len; ++l) {
-      first_code[l] = code;
+      if (code + (uint64_t)count_by_len[l] > (1ull << l)) {
+        max_len = 0;
+        lut_bits = 0;
+        lut.clear();
+        return;
+      }
+      first_code[l] = (uint32_t)code;
       first_index[l] = index;
-      code = (code + count_by_len[l]) << 1;
+      code = (code + (uint64_t)count_by_len[l]) << 1;
       index += count_by_len[l];
     }
     sorted_symbols.resize(index);
@@ -199,7 +210,9 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
       if (mode == kCategory) {
         int len;
         int cat = r.decode_symbol(*table, w, &len);
-        if (cat < 0) { *err = 2; return; }
+        // cat > 31: only reachable with a foreign/corrupt table (the wire
+        // packer emits categories <= 31); the shifts below would be UB
+        if (cat < 0 || cat > 31) { *err = 2; return; }
         uint32_t extra =
             cat ? (uint32_t)((w << len) >> (64 - cat)) : 0;
         run = read_run(w, len + cat);
