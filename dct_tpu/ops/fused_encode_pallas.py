@@ -35,17 +35,21 @@ lanes):
      row base is aligned down and the slack lives inside the span.
 
      Round 2 added per-stripe PACK TIERS (one scalar branch per stripe —
-     per-row branching is the measured dead end, CLAUDE.md):
-       * pair tier: every even/odd row pair's live symbols fit 128 lanes
-         AND its units fit FAST_SPAN -> each row's symbols are
-         lane-compacted left (_compact_rows: collision-free LSB-first
-         log-shifts; move distances are monotone along lanes) and the odd
-         row's symbols are appended after the even row's (_merge_pairs),
-         so the serial loop runs HALF the iterations at HALF the span.
-       * mid tier: unpaired rows at FAST_SPAN.
+     per-row branching is the measured dead end, CLAUDE.md); round 3
+     deepened them into a MERGE TREE. Tier k groups 2^k consecutive rows
+     when the group's live symbols fit one 128-lane vector AND its units
+     fit FAST_SPAN from the group leader's aligned base: each row's
+     symbols are lane-compacted left (_compact_rows: collision-free
+     LSB-first log-shifts; move distances are monotone along lanes), then
+     k levels of _merge_rows append row r+2^lvl's lanes after row r's
+     group live count — so the serial pack loop runs R/2^k iterations.
+       * oct tier  (k=3): sparse content (q <= ~30)
+       * quad tier (k=2): the q50 headline workload (~21 syms/row)
+       * pair tier (k=1): denser content (q ~90)
+       * mid tier: ungrouped rows at FAST_SPAN.
        * safe tier: the round-1 ROW_SPAN loop for worst-case content.
-     q50 1080p takes the pair tier everywhere: 688 -> ~1000 Mpix/s chip
-     throughput with the split-operand transform.
+     q50 1080p took the pair tier everywhere for 688 -> ~1000 Mpix/s in
+     round 2; the quad tier halves its serial iterations again.
 
 Bitstreams are byte-identical to the XLA pipeline (tested), so CPU tests
 and TPU production produce the same containers.
@@ -120,16 +124,21 @@ def _compact_rows(planes, alive, pos):
     return out
 
 
-def _merge_pairs(planes, l0, lane):
-    """Append row 2i+1's compacted lanes after row 2i's first l0 lanes.
+def _merge_rows(planes, l0, lane, stride):
+    """Append row r+stride's compacted lanes after row r's first l0 lanes.
 
     planes must be pre-masked (zeros at lanes >= their row's live count) so
     the circular wrap of the variable right-shift only recycles zeros, and
-    the lane < l0 select covers the wrapped region. Valid at EVEN rows only.
+    the lane < l0 select covers the wrapped region. One level of the merge
+    TREE: stride 1 merges row pairs (l0 = per-row live count, valid at even
+    rows), stride 2 then merges pairs of merged pairs (l0 = the PAIR live
+    count, valid at rows = 0 mod 4), stride 4 merges quads into octs. Each
+    level's output stays zero beyond its combined live count whenever that
+    count is <= 128 (the tier guard), so levels compose.
     """
     shifted = [
-        pltpu.roll(p, p.shape[0] - 1, axis=0) for p in planes
-    ]  # roll by -1: odd row -> even slot (circular)
+        pltpu.roll(p, p.shape[0] - stride, axis=0) for p in planes
+    ]  # roll by -stride: row r+stride -> slot r (circular)
     for b in range(7):
         s = 1 << b
         cond = ((l0 >> b) & 1) == 1  # (R, 1) row-broadcast
@@ -417,20 +426,36 @@ def _fused_kernel(
             scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
 
     # Per-stripe pack tier (ONE scalar branch per stripe — per-ROW branching
-    # is the measured dead end; the hot loops stay branch-free):
-    #   pair: both rows of every even/odd pair fit their live symbols in one
-    #         128-lane vector AND the pair's units fit FAST_SPAN -> compact +
-    #         merge, HALF the pack-loop iterations at half the span.
+    # is the measured dead end; the hot loops stay branch-free). Merge TREE
+    # (round 3, VERDICT item 3): level k groups 2^k consecutive rows when
+    # the group's live symbols fit one 128-lane vector AND its units fit
+    # FAST_SPAN from the group-leader row's aligned base, running the
+    # serial pack loop at R/2^k iterations:
+    #   oct  (k=3): 8 rows/group  — sparse content (q <= ~30)
+    #   quad (k=2): 4 rows/group  — the q50 headline workload
+    #   pair (k=1): 2 rows/group  — denser content (q ~90)
     #   mid:  every single row fits FAST_SPAN -> half span, all rows.
     #   safe: worst-case content -> the round-1 ROW_SPAN loop.
     livecnt = jnp.sum(is_sym.astype(jnp.int32), axis=1, keepdims=True)
     last_k = jnp.max(kmat, axis=1, keepdims=True)
-    even = (ridx1 & 1) == 0
-    pair_live = livecnt + pltpu.roll(livecnt, R - 1, axis=0)
-    pair_last = jnp.maximum(last_k, pltpu.roll(last_k, R - 1, axis=0))
-    pair_ok = (jnp.max(jnp.where(even, pair_live, 0)) <= 128) & (
-        jnp.max(jnp.where(even, pair_last + 4 - base_vec, 0)) <= FAST_SPAN
-    )
+    # level-k group live counts / last units, valid at rows = 0 mod 2^k
+    live_m = [livecnt]
+    last_m = [last_k]
+    for stride in (1, 2, 4):
+        live_m.append(live_m[-1] + pltpu.roll(live_m[-1], R - stride, axis=0))
+        last_m.append(
+            jnp.maximum(last_m[-1], pltpu.roll(last_m[-1], R - stride, axis=0))
+        )
+
+    def tier_ok(k):
+        lead = (ridx1 & ((1 << k) - 1)) == 0
+        return (jnp.max(jnp.where(lead, live_m[k], 0)) <= 128) & (
+            jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= FAST_SPAN
+        )
+
+    oct_ok = tier_ok(3)
+    quad_ok = tier_ok(2)
+    pair_ok = tier_ok(1)
     span_need = jnp.max(last_k + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
@@ -472,19 +497,37 @@ def _fused_kernel(
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
-    @pl.when(pair_ok)
-    def _pair():
+    def merged_pack(k):
+        # compact each row left, then merge k tree levels; group-leader
+        # rows (0 mod 2^k) carry the merged symbols for the pack loop
         live_mask = lane < livecnt
         planes = [
             jnp.where(live_mask, p, 0) for p in
             _compact_rows([kmat, T, nT, X, nX], is_sym, lane)
         ]
-        km, Tm, nTm, Xm, nXm = _merge_pairs(planes, livecnt, lane)
+        for lvl in range(k):
+            planes = _merge_rows(planes, live_m[lvl], lane, 1 << lvl)
+        km, Tm, nTm, Xm, nXm = planes
         scr_k[:] = km
         write_digits(Tm, nTm, Xm, nXm)
-        pack_loop(FAST_SPAN, 2)  # even rows carry the merged pairs
+        pack_loop(FAST_SPAN, 1 << k)
 
-    @pl.when(jnp.logical_not(pair_ok))
+    not_oct = jnp.logical_not(oct_ok)
+    not_quad = jnp.logical_not(quad_ok)
+
+    @pl.when(oct_ok)
+    def _oct():
+        merged_pack(3)
+
+    @pl.when(not_oct & quad_ok)
+    def _quad():
+        merged_pack(2)
+
+    @pl.when(not_oct & not_quad & pair_ok)
+    def _pair():
+        merged_pack(1)
+
+    @pl.when(not_oct & not_quad & jnp.logical_not(pair_ok))
     def _unpaired():
         scr_k[:] = kmat
         write_digits(T, nT, X, nX)

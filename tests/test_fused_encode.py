@@ -9,6 +9,8 @@ every test run, not only on TPU hardware.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -261,3 +263,77 @@ def test_fused_direct_and_none_modes_match_staged(mode):
     g = np.asarray(got.units)
     assert np.array_equal(g[:, : w.shape[1]], w)
     assert not g[:, w.shape[1]:].any()
+
+
+def test_merge_tree_unit():
+    """_compact_rows + k levels of _merge_rows (the round-3 pack-tier merge
+    tree): each group-leader row must carry the concatenation of its
+    group's live symbols in stable row-major order, and zeros beyond the
+    group live count, for adversarial live-count patterns including the
+    exact-128 edges (l0 = 128 -> the 7-bit lane shift wraps to identity,
+    which is only benign because the partner contributes zero lanes)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dct_tpu.ops import fused_encode_pallas as fep
+
+    R = 8
+    patterns = [
+        [16] * 8,
+        [128, 0, 0, 0, 0, 0, 0, 0],      # pair merge with l0 = 128
+        [64, 64, 0, 0, 32, 32, 32, 32],  # quad groups at exactly 128
+        [0, 0, 0, 0, 0, 0, 0, 128],
+        [1, 127, 0, 0, 13, 5, 99, 11],
+        [0] * 8,
+        [17, 3, 0, 42, 8, 8, 8, 8],      # oct group at 86
+    ]
+
+    def kernel(alive_ref, out_ref, *, k):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        alive = alive_ref[:] > 0
+        livecnt = jnp.sum(alive.astype(jnp.int32), axis=1, keepdims=True)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        val = 1000 * ridx + lane + 1  # +1: zero never a live payload
+        (c,) = fep._compact_rows([jnp.where(alive, val, 0)], alive, lane)
+        planes = [jnp.where(lane < livecnt, c, 0)]
+        live_m = [livecnt]
+        for stride in (1, 2, 4):
+            live_m.append(
+                live_m[-1] + pltpu.roll(live_m[-1], R - stride, axis=0)
+            )
+        for lvl in range(k):
+            planes = fep._merge_rows(planes, live_m[lvl], lane, 1 << lvl)
+        out_ref[:] = planes[0]
+
+    rng = np.random.default_rng(42)
+    for pat in patterns:
+        alive = np.zeros((R, 128), np.int32)
+        lanes_by_row = []
+        for r, c in enumerate(pat):
+            sel = np.sort(rng.choice(128, size=c, replace=False))
+            alive[r, sel] = 1
+            lanes_by_row.append(sel)
+        for k in (1, 2, 3):
+            group = 1 << k
+            if max(
+                sum(pat[g : g + group]) for g in range(0, R, group)
+            ) > 128:
+                continue
+            out = pl.pallas_call(
+                functools.partial(kernel, k=k),
+                out_shape=jax.ShapeDtypeStruct((R, 128), jnp.int32),
+                interpret=True,
+            )(jnp.asarray(alive))
+            out = np.asarray(out)
+            for g in range(0, R, group):
+                want = np.concatenate(
+                    [1000 * r + lanes_by_row[r] + 1
+                     for r in range(g, g + group)]
+                ) if any(pat[g : g + group]) else np.zeros(0, np.int64)
+                total = len(want)
+                np.testing.assert_array_equal(
+                    out[g, :total], want,
+                    err_msg=f"pat={pat} k={k} leader={g}",
+                )
+                assert not out[g, total:].any(), f"pat={pat} k={k} g={g}"
