@@ -46,7 +46,9 @@ lanes):
        * oct tier  (k=3): sparse content (q <= ~30)
        * quad tier (k=2): the q50 headline workload (~21 syms/row)
        * pair tier (k=1): denser content (q ~90)
-       * mid tier: ungrouped rows at FAST_SPAN.
+       * pair-wide tier: q~97 pairs whose UNITS overflow FAST_SPAN while
+         their live symbols still fit 128 lanes (WIDE_SPAN = 384)
+       * mid / mid-wide tiers: ungrouped rows at FAST_SPAN / WIDE_SPAN.
        * safe tier: the round-1 ROW_SPAN loop for worst-case content.
      q50 1080p took the pair tier everywhere for 688 -> ~1000 Mpix/s in
      round 2; the quad tier halves its serial iterations again.
@@ -75,6 +77,12 @@ FAST_SPAN = 256  # tier-1 span: covers slack (<=127) + row extent <= 128
                  # longer row fall back to the ROW_SPAN loop (scalar
                  # per-stripe branch — per-ROW branching is the measured
                  # dead end, see CLAUDE.md)
+WIDE_SPAN = 384  # dense-content (q~97) middle ground: a merged pair's
+                 # units (~2x69 at q97) + the <=127 align slack overflow
+                 # FAST_SPAN while its live symbols still fit 128 lanes —
+                 # half the serial iterations at 1.5x span beats per-row
+                 # FAST_SPAN packs; single rows past FAST_SPAN take the
+                 # 384 span before falling to the 512 safe loop
 
 
 def _interpret() -> bool:
@@ -434,7 +442,8 @@ def _fused_kernel(
     #   oct  (k=3): 8 rows/group  — sparse content (q <= ~30)
     #   quad (k=2): 4 rows/group  — the q50 headline workload
     #   pair (k=1): 2 rows/group  — denser content (q ~90)
-    #   mid:  every single row fits FAST_SPAN -> half span, all rows.
+    #   pair-wide:  pairs whose units need WIDE_SPAN (q ~97)
+    #   mid / mid-wide: per-row at FAST_SPAN / WIDE_SPAN.
     #   safe: worst-case content -> the round-1 ROW_SPAN loop.
     livecnt = jnp.sum(is_sym.astype(jnp.int32), axis=1, keepdims=True)
     last_k = jnp.max(kmat, axis=1, keepdims=True)
@@ -447,15 +456,18 @@ def _fused_kernel(
             jnp.maximum(last_m[-1], pltpu.roll(last_m[-1], R - stride, axis=0))
         )
 
-    def tier_ok(k):
+    def tier_ok(k, span):
         lead = (ridx1 & ((1 << k) - 1)) == 0
         return (jnp.max(jnp.where(lead, live_m[k], 0)) <= 128) & (
-            jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= FAST_SPAN
+            jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= span
         )
 
-    oct_ok = tier_ok(3)
-    quad_ok = tier_ok(2)
-    pair_ok = tier_ok(1)
+    oct_ok = tier_ok(3, FAST_SPAN)
+    quad_ok = tier_ok(2, FAST_SPAN)
+    pair_ok = tier_ok(1, FAST_SPAN)
+    # dense content (q~97): merged pairs overflow FAST_SPAN's unit budget
+    # before the 128-lane budget — half the iterations at 1.5x span
+    pairw_ok = tier_ok(1, WIDE_SPAN)
     span_need = jnp.max(last_k + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
@@ -497,7 +509,7 @@ def _fused_kernel(
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
-    def merged_pack(k):
+    def merged_pack(k, span):
         # compact each row left, then merge k tree levels; group-leader
         # rows (0 mod 2^k) carry the merged symbols for the pack loop
         live_mask = lane < livecnt
@@ -510,24 +522,30 @@ def _fused_kernel(
         km, Tm, nTm, Xm, nXm = planes
         scr_k[:] = km
         write_digits(Tm, nTm, Xm, nXm)
-        pack_loop(FAST_SPAN, 1 << k)
+        pack_loop(span, 1 << k)
 
     not_oct = jnp.logical_not(oct_ok)
     not_quad = jnp.logical_not(quad_ok)
+    not_pair = jnp.logical_not(pair_ok)
+    not_pairw = jnp.logical_not(pairw_ok)
 
     @pl.when(oct_ok)
     def _oct():
-        merged_pack(3)
+        merged_pack(3, FAST_SPAN)
 
     @pl.when(not_oct & quad_ok)
     def _quad():
-        merged_pack(2)
+        merged_pack(2, FAST_SPAN)
 
     @pl.when(not_oct & not_quad & pair_ok)
     def _pair():
-        merged_pack(1)
+        merged_pack(1, FAST_SPAN)
 
-    @pl.when(not_oct & not_quad & jnp.logical_not(pair_ok))
+    @pl.when(not_oct & not_quad & not_pair & pairw_ok)
+    def _pair_wide():
+        merged_pack(1, WIDE_SPAN)
+
+    @pl.when(not_oct & not_quad & not_pair & not_pairw)
     def _unpaired():
         scr_k[:] = kmat
         write_digits(T, nT, X, nX)
@@ -536,7 +554,11 @@ def _fused_kernel(
         def _mid():
             pack_loop(FAST_SPAN, 1)
 
-        @pl.when(span_need > FAST_SPAN)
+        @pl.when((span_need > FAST_SPAN) & (span_need <= WIDE_SPAN))
+        def _mid_wide():
+            pack_loop(WIDE_SPAN, 1)
+
+        @pl.when(span_need > WIDE_SPAN)
         def _safe():
             pack_loop(ROW_SPAN, 1)
 

@@ -337,3 +337,34 @@ def test_merge_tree_unit():
                     err_msg=f"pat={pat} k={k} leader={g}",
                 )
                 assert not out[g, total:].any(), f"pat={pat} k={k} g={g}"
+
+
+@pytest.mark.parametrize("quality", [50, 95])
+def test_wide_tiers_match_staged(monkeypatch, quality):
+    """Deterministically drive the WIDE_SPAN branches (pair-wide /
+    mid-wide): shrinking FAST_SPAN to 128 makes ordinary content overflow
+    the fast span (the <=127 alignment slack alone nearly fills it), so
+    stripes land in the 384-span tiers — which must stay byte-identical.
+    (Tier choice is data-dependent inside the kernel; this is the only
+    deterministic way to pin coverage of those branches.)"""
+    from dct_tpu.ops import fused_encode_pallas as fep
+
+    monkeypatch.setattr(fep, "FAST_SPAN", 128)
+    cfg = CodecConfig(quality=quality, static_tables=True)
+    n_stripes, bps = 3, 30
+    nb = n_stripes * bps
+    rng = np.random.default_rng(7 * quality)
+    base = rng.integers(40, 216, (nb, 1)).astype(np.float64)
+    amp = (np.arange(nb) % 9).reshape(nb, 1) * 9.0
+    px = np.clip(base + rng.normal(0, 1, (nb, 64)) * amp, 0, 255)
+    pixels = jnp.asarray(px.astype(np.uint8))
+    lengths, codes = _table()
+    want = _staged(pixels, cfg, n_stripes, lengths, codes, None)
+    got = fep.encode_stripes_fused(pixels, cfg, n_stripes, lengths, codes)
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    w = np.asarray(want.units)
+    g = np.asarray(got.units)
+    np.testing.assert_array_equal(g[:, : w.shape[1]], w)
+    assert not g[:, w.shape[1]:].any()
