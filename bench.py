@@ -64,8 +64,33 @@ def measure_c_baseline() -> float:
 
 
 def main() -> None:
+    # Backend-init watchdog: with JAX_PLATFORMS=axon pinned and the tunnel
+    # relay dead, jax backend init hangs FOREVER in make_c_api_client
+    # (observed 2026-08-17: local relay ports closed). Fail fast and
+    # diagnosably instead of eating the driver's whole bench budget.
+    # 300 s >> normal init (~10 s); first KERNEL compiles happen later.
+    import os as _os
+    import sys as _sys
+    import threading
+
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(300):
+            print(
+                "fatal: jax backend init did not complete in 300 s — "
+                "axon tunnel down? (TCP-probe 127.0.0.1:8082/8083)",
+                file=_sys.stderr, flush=True,
+            )
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    _init_done.set()
 
     from dct_tpu.config import CodecConfig
     from dct_tpu.models import codec
