@@ -1,12 +1,15 @@
 #!/usr/bin/env python
 """Fused-kernel encode throughput across qualities (pack-tier behavior).
 
-The fused kernel picks a per-stripe pack tier (pair / mid / safe —
-ops/fused_encode_pallas.py): pairs need every row pair's live symbols to
-fit 128 lanes and its units to fit FAST_SPAN. Higher quality = more live
-symbols and more bits, so stripes drop from the pair tier to mid, and
-eventually to safe. This sweep records the resulting throughput curve on
-the bench.py workload shape so tier regressions are visible.
+The fused kernel picks a per-stripe pack tier from the round-3 merge-tree
+ladder (oct / quad / pair / pair-wide / mid / mid-wide / safe —
+ops/fused_encode_pallas.py): level-k groups need 2^k rows' live symbols
+to fit 128 lanes and their units to fit the tier span. Higher quality =
+more live symbols and more bits, so stripes descend the ladder. This
+sweep records the throughput curve on the bench.py workload shape AND a
+host-side prediction of the per-stripe tier distribution (replicating
+the kernel's tier conditions from staged intermediates — frame 0 only),
+so a tier regression shows up as both a number and a ladder shift.
 
 Timing: optimization_barrier K-loop (CLAUDE.md harness rules).
 """
@@ -26,10 +29,78 @@ import time
 import numpy as np
 
 
+def predict_tiers(frame: np.ndarray, cfg, n_stripes: int) -> dict[str, int]:
+    """Replicate the fused kernel's per-stripe tier ladder on the host.
+
+    Mirrors ops/fused_encode_pallas.py's tier_ok conditions (8x8 category
+    static-table path, no coded runs) from staged intermediates: per-row
+    live-symbol counts and unit extents. Diagnostic only — byte identity
+    does not depend on this; a drift here mislabels the distribution, not
+    the stream.
+    """
+    import jax.numpy as jnp
+
+    from dct_tpu.models import codec as _codec
+    from dct_tpu.ops import blocks as blk
+    from dct_tpu.ops import huffman as hf
+    from dct_tpu.ops import rle, transform
+    from dct_tpu.ops.fused_encode_pallas import FAST_SPAN, ROW_SPAN, WIDE_SPAN
+
+    zz = transform.encode_blocks(
+        blk.image_to_blocks(jnp.asarray(frame), 8), cfg
+    )
+    sym = rle.rle_encode_positional(zz)
+    vals = np.asarray(sym.values)
+    is_sym = np.asarray(sym.is_sym)
+    lengths = np.asarray(hf.default_category_table(cfg.quality).lengths)
+    cat = np.zeros_like(vals)
+    a = np.abs(vals)
+    for c in range(15):
+        cat += (a >= (1 << c)).astype(vals.dtype)
+    t3 = np.where(is_sym, lengths[cat] + cat + 8, 0)
+
+    nb = vals.shape[0]
+    bps = nb // n_stripes
+    rows_live = -(-bps // 2)  # 2 blocks per 128-lane row at N=8
+    R = -(-rows_live // 8) * 8
+    blk_bits = t3.sum(-1).reshape(n_stripes, bps)
+    blk_live = is_sym.sum(-1).reshape(n_stripes, bps)
+    pad = 2 * R - bps
+    blk_bits = np.pad(blk_bits, ((0, 0), (0, pad)))
+    blk_live = np.pad(blk_live, ((0, 0), (0, pad)))
+    rowbits = blk_bits.reshape(n_stripes, R, 2).sum(-1)
+    rowlive = blk_live.reshape(n_stripes, R, 2).sum(-1)
+    rp = np.cumsum(rowbits, axis=1)
+    rp_ex = rp - rowbits
+    last_k = rp >> 4  # max kmat over a row's 128 lanes = (rp_ex+rowbits)>>4
+    base = ((rp_ex >> 4) >> 7) << 7
+
+    def group_ok(k: int, span: int) -> np.ndarray:
+        g = 1 << k
+        gl = rowlive.reshape(n_stripes, R // g, g).sum(-1)
+        gk = last_k.reshape(n_stripes, R // g, g).max(-1)
+        gb = base[:, ::g]
+        return ((gl <= 128).all(1)) & ((gk + 4 - gb <= span).all(1))
+
+    span_row = (last_k + 4 - base).max(1)
+    tiers = np.full(n_stripes, "safe", dtype=object)
+    tiers[span_row <= WIDE_SPAN] = "mid-wide"
+    tiers[span_row <= FAST_SPAN] = "mid"
+    tiers[group_ok(1, WIDE_SPAN)] = "pair-wide"
+    tiers[group_ok(1, FAST_SPAN)] = "pair"
+    tiers[group_ok(2, FAST_SPAN)] = "quad"
+    tiers[group_ok(3, FAST_SPAN)] = "oct"
+    assert (span_row <= ROW_SPAN).all()  # safe tier covers worst case
+    names = ("oct", "quad", "pair", "pair-wide", "mid", "mid-wide", "safe")
+    return {n: int((tiers == n).sum()) for n in names if (tiers == n).any()}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--no-tiers", action="store_true",
+                    help="skip the host-side tier-distribution prediction")
     args = ap.parse_args()
 
     import jax
@@ -69,14 +140,19 @@ def main() -> int:
             float(fn(fd))
         return (time.perf_counter() - t0) / args.iters
 
-    print(f"{'q':>3s} {'Mpix/s':>8s}  (k-loop delta, {pixels/1e6:.1f} Mpix)")
+    print(f"{'q':>3s} {'Mpix/s':>8s}  tier distribution "
+          f"(k-loop delta, {pixels/1e6:.1f} Mpix; tiers on frame 0)")
     for q in (10, 35, 50, 75, 90, 97):
         cfg = CodecConfig(quality=q, static_tables=True, use_pallas=True)
         k1, k2 = 3, 11
         t1 = timed(make(cfg, k1))
         t2 = timed(make(cfg, k2))
         dt = (t2 - t1) / (k2 - k1) if t2 > t1 else t1
-        print(f"{q:3d} {pixels/dt/1e6:8.1f}", flush=True)
+        dist = ""
+        if not args.no_tiers:
+            d = predict_tiers(frames[0], cfg, n_stripes)
+            dist = " ".join(f"{k}:{v}" for k, v in d.items())
+        print(f"{q:3d} {pixels/dt/1e6:8.1f}  {dist}", flush=True)
     return 0
 
 
