@@ -75,23 +75,34 @@ def predict_tiers(frame: np.ndarray, cfg, n_stripes: int) -> dict[str, int]:
     last_k = rp >> 4  # max kmat over a row's 128 lanes = (rp_ex+rowbits)>>4
     base = ((rp_ex >> 4) >> 7) << 7
 
-    def group_ok(k: int, span: int) -> np.ndarray:
+    first = rp_ex >> 4
+
+    def group_ok(k: int, span: int, org: np.ndarray) -> np.ndarray:
         g = 1 << k
         gl = rowlive.reshape(n_stripes, R // g, g).sum(-1)
         gk = last_k.reshape(n_stripes, R // g, g).max(-1)
-        gb = base[:, ::g]
-        return ((gl <= 128).all(1)) & ((gk + 4 - gb <= span).all(1))
+        go = org[:, ::g]
+        return ((gl <= 128).all(1)) & ((gk + 4 - go <= span).all(1))
 
     span_row = (last_k + 4 - base).max(1)
+    narrow_row = (last_k + 4 - first).max(1)
+    assert (span_row <= ROW_SPAN).all()  # safe tier covers worst case
+    # assign from the BOTTOM of the ladder up, so cheaper tiers overwrite
     tiers = np.full(n_stripes, "safe", dtype=object)
     tiers[span_row <= WIDE_SPAN] = "mid-wide"
     tiers[span_row <= FAST_SPAN] = "mid"
-    tiers[group_ok(1, WIDE_SPAN)] = "pair-wide"
-    tiers[group_ok(1, FAST_SPAN)] = "pair"
-    tiers[group_ok(2, FAST_SPAN)] = "quad"
-    tiers[group_ok(3, FAST_SPAN)] = "oct"
-    assert (span_row <= ROW_SPAN).all()  # safe tier covers worst case
-    names = ("oct", "quad", "pair", "pair-wide", "mid", "mid-wide", "safe")
+    tiers[group_ok(1, WIDE_SPAN, base)] = "pair-wide"
+    tiers[narrow_row <= 128] = "mid-narrow"
+    tiers[group_ok(1, FAST_SPAN, base)] = "pair"
+    tiers[group_ok(1, 128, first)] = "pair-narrow"
+    tiers[group_ok(2, FAST_SPAN, base)] = "quad"
+    tiers[group_ok(2, 128, first)] = "quad-narrow"
+    tiers[group_ok(3, FAST_SPAN, base)] = "oct"
+    tiers[group_ok(3, 128, first)] = "oct-narrow"
+    names = (
+        "oct-narrow", "oct", "quad-narrow", "quad", "pair-narrow", "pair",
+        "mid-narrow", "pair-wide", "mid", "mid-wide", "safe",
+    )
     return {n: int((tiers == n).sum()) for n in names if (tiers == n).any()}
 
 

@@ -43,15 +43,25 @@ lanes):
      LSB-first log-shifts; move distances are monotone along lanes), then
      k levels of _merge_rows append row r+2^lvl's lanes after row r's
      group live count — so the serial pack loop runs R/2^k iterations.
-       * oct tier  (k=3): sparse content (q <= ~30)
-       * quad tier (k=2): the q50 headline workload (~21 syms/row)
-       * pair tier (k=1): denser content (q ~90)
-       * pair-wide tier: q~97 pairs whose UNITS overflow FAST_SPAN while
+       * oct tier  (k=3): sparse content (q <= ~50 on photo rasters)
+       * quad tier (k=2): q ~75
+       * pair tier (k=1): q ~90
+       * pair-wide tier: pairs whose UNITS overflow FAST_SPAN while
          their live symbols still fit 128 lanes (WIDE_SPAN = 384)
-       * mid / mid-wide tiers: ungrouped rows at FAST_SPAN / WIDE_SPAN.
+       * mid / mid-wide tiers: ungrouped rows at FAST_SPAN / WIDE_SPAN
+         (q ~97: rows overflow the PAIR lane budget, so grouping stops)
        * safe tier: the round-1 ROW_SPAN loop for worst-case content.
+     Every grouped level and mid additionally has a NARROW variant
+     (span 128 = one MXU tile): the one-hot indexes units relative to
+     the group's EXACT first unit, and the <=127-unit alignment slack is
+     applied afterwards by 7 branch-free conditional rolls of the result
+     window (the round-2 dead end was per-row pl.when branching, not the
+     roll itself). Narrow halves the per-iteration compare+matmul cost
+     whenever the group's unit EXTENT fits one tile — which photo
+     content satisfies at every quality for its natural tier.
      q50 1080p took the pair tier everywhere for 688 -> ~1000 Mpix/s in
-     round 2; the quad tier halves its serial iterations again.
+     round 2; round 3's ladder takes oct-narrow there (R/8 iterations at
+     one tile each = 1/4 of the round-2 pack work).
 
 Bitstreams are byte-identical to the XLA pipeline (tested), so CPU tests
 and TPU production produce the same containers.
@@ -166,7 +176,7 @@ def _round_half_away_i32(x):
 def _fused_kernel(
     len_ref, code_ref, rlen_ref, rcode_ref, dtab_ref, px_ref,
     m0_ref, m1_ref, m2_ref, b_ref, scale_ref,
-    units_ref, bits_ref, scr_k, scr_d, scr_base, *extra_scr,
+    units_ref, bits_ref, scr_k, scr_d, scr_base, scr_first, *extra_scr,
     n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
     dc_prediction: bool, n2: int = 64, mode: str = "category",
     vmin: int = 0, n_alpha: int = 0,
@@ -187,6 +197,10 @@ def _fused_kernel(
                the DEFAULT-precision matmul rounds to bf16 internally,
                exact for byte values)
     scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
+    scr_first: (R, 1) i32 — per-row EXACT first unit (rp_ex >> 4); the
+               narrow pack tiers build the one-hot relative to it (span
+               128, one MXU tile) and roll the alignment slack
+               (first - base, <= 127) into place branch-free afterwards
     """
     R = px_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -422,8 +436,10 @@ def _fused_kernel(
         )
 
     kmat = off >> 4
-    base_vec = ((rp_ex >> 4) >> 7) << 7  # aligned unit base per row (R, 1)
+    first_vec = rp_ex >> 4  # exact first unit per row (R, 1)
+    base_vec = (first_vec >> 7) << 7  # 128-aligned unit base per row
     scr_base[:] = base_vec
+    scr_first[:] = first_vec
 
     def write_digits(Tv, nTv, Xv, nXv):
         for j in range(4):
@@ -437,14 +453,15 @@ def _fused_kernel(
     # is the measured dead end; the hot loops stay branch-free). Merge TREE
     # (round 3, VERDICT item 3): level k groups 2^k consecutive rows when
     # the group's live symbols fit one 128-lane vector AND its units fit
-    # FAST_SPAN from the group-leader row's aligned base, running the
-    # serial pack loop at R/2^k iterations:
-    #   oct  (k=3): 8 rows/group  — sparse content (q <= ~30)
-    #   quad (k=2): 4 rows/group  — the q50 headline workload
-    #   pair (k=1): 2 rows/group  — denser content (q ~90)
-    #   pair-wide:  pairs whose units need WIDE_SPAN (q ~97)
-    #   mid / mid-wide: per-row at FAST_SPAN / WIDE_SPAN.
-    #   safe: worst-case content -> the round-1 ROW_SPAN loop.
+    # the tier span, running the serial pack loop at R/2^k iterations.
+    # Each level has a NARROW variant (span 128 = ONE MXU tile): the
+    # one-hot indexes units relative to the group's EXACT first unit and
+    # the <=127-unit alignment slack is rolled into place afterwards —
+    # branch-free selects on the slack's bits, NOT the round-2 dead end
+    # (that was per-row pl.when branching). Ladder in measured-cost order
+    # (MXU tile-iterations per stripe): oct-narrow R/8, oct R/4,
+    # quad-narrow R/4, quad R/2, pair-narrow R/2, pair R, mid-narrow R,
+    # pair-wide 3R/2, mid 2R, mid-wide 3R, safe 4R.
     livecnt = jnp.sum(is_sym.astype(jnp.int32), axis=1, keepdims=True)
     last_k = jnp.max(kmat, axis=1, keepdims=True)
     # level-k group live counts / last units, valid at rows = 0 mod 2^k
@@ -462,24 +479,27 @@ def _fused_kernel(
             jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= span
         )
 
-    oct_ok = tier_ok(3, FAST_SPAN)
-    quad_ok = tier_ok(2, FAST_SPAN)
-    pair_ok = tier_ok(1, FAST_SPAN)
-    # dense content (q~97): merged pairs overflow FAST_SPAN's unit budget
-    # before the 128-lane budget — half the iterations at 1.5x span
-    pairw_ok = tier_ok(1, WIDE_SPAN)
+    def narrow_ok(k):
+        # group UNIT EXTENT (exact first -> last+digits) fits one tile
+        lead = (ridx1 & ((1 << k) - 1)) == 0
+        return (jnp.max(jnp.where(lead, live_m[k], 0)) <= 128) & (
+            jnp.max(jnp.where(lead, last_m[k] + 4 - first_vec, 0)) <= 128
+        )
+
+    mid_narrow_ok = jnp.max(last_k + 4 - first_vec) <= 128
     span_need = jnp.max(last_k + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
 
-    def pack_loop(span, row_step):
+    def pack_loop(span, row_step, narrow=False):
         u = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
 
         def one_row(r, planes, rr):
             base = scr_base[r, 0]
             ob = pl.multiple_of(base, 128)
-            k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
+            org = scr_first[r, 0] if narrow else base
+            k = (scr_k[pl.ds(r, 1), :] - org).reshape(128, 1)
             a = (k == u).astype(jnp.float32)  # one one-hot, all 4 digits
             w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
             out = jnp.dot(
@@ -492,8 +512,23 @@ def _fused_kernel(
                     + out[2 * j + 1 : 2 * j + 2],
                     j, axis=1,
                 )
-            cur = units_ref[0, :, pl.ds(ob, span)]
-            units_ref[0, :, pl.ds(ob, span)] = cur + h.astype(jnp.int32)
+            if narrow:
+                # slide the 128-unit window to its slack offset inside the
+                # 256-unit aligned output window: 7 branch-free conditional
+                # rolls on the slack's bits (top half starts zero, slack
+                # <= 127, so wraps only recycle zeros)
+                slack = org - base
+                h = jnp.concatenate([h, jnp.zeros_like(h)], axis=1)
+                for b in range(7):
+                    h = jnp.where(
+                        ((slack >> b) & 1) == 1,
+                        pltpu.roll(h, 1 << b, axis=1), h,
+                    )
+                window = 2 * span
+            else:
+                window = span
+            cur = units_ref[0, :, pl.ds(ob, window)]
+            units_ref[0, :, pl.ds(ob, window)] = cur + h.astype(jnp.int32)
 
         def body(r8, _):
             # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous
@@ -509,7 +544,7 @@ def _fused_kernel(
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
-    def merged_pack(k, span):
+    def merged_pack(k, span, narrow=False):
         # compact each row left, then merge k tree levels; group-leader
         # rows (0 mod 2^k) carry the merged symbols for the pack loop
         live_mask = lane < livecnt
@@ -522,45 +557,35 @@ def _fused_kernel(
         km, Tm, nTm, Xm, nXm = planes
         scr_k[:] = km
         write_digits(Tm, nTm, Xm, nXm)
-        pack_loop(span, 1 << k)
+        pack_loop(span, 1 << k, narrow)
 
-    not_oct = jnp.logical_not(oct_ok)
-    not_quad = jnp.logical_not(quad_ok)
-    not_pair = jnp.logical_not(pair_ok)
-    not_pairw = jnp.logical_not(pairw_ok)
-
-    @pl.when(oct_ok)
-    def _oct():
-        merged_pack(3, FAST_SPAN)
-
-    @pl.when(not_oct & quad_ok)
-    def _quad():
-        merged_pack(2, FAST_SPAN)
-
-    @pl.when(not_oct & not_quad & pair_ok)
-    def _pair():
-        merged_pack(1, FAST_SPAN)
-
-    @pl.when(not_oct & not_quad & not_pair & pairw_ok)
-    def _pair_wide():
-        merged_pack(1, WIDE_SPAN)
-
-    @pl.when(not_oct & not_quad & not_pair & not_pairw)
-    def _unpaired():
+    def plain_pack(span, narrow=False):
         scr_k[:] = kmat
         write_digits(T, nT, X, nX)
+        pack_loop(span, 1, narrow)
 
-        @pl.when(span_need <= FAST_SPAN)
-        def _mid():
-            pack_loop(FAST_SPAN, 1)
-
-        @pl.when((span_need > FAST_SPAN) & (span_need <= WIDE_SPAN))
-        def _mid_wide():
-            pack_loop(WIDE_SPAN, 1)
-
-        @pl.when(span_need > WIDE_SPAN)
-        def _safe():
-            pack_loop(ROW_SPAN, 1)
+    # Ladder in measured-cost order (see the tier comment above); each
+    # branch fires iff no cheaper branch's condition held. The final
+    # condition is provably true (ROW_SPAN covers the worst case: 312
+    # max row extent + 127 slack + 4 digit margin = 443 <= 512).
+    ladder = [
+        (narrow_ok(3), functools.partial(merged_pack, 3, 128, True)),
+        (tier_ok(3, FAST_SPAN), functools.partial(merged_pack, 3, FAST_SPAN)),
+        (narrow_ok(2), functools.partial(merged_pack, 2, 128, True)),
+        (tier_ok(2, FAST_SPAN), functools.partial(merged_pack, 2, FAST_SPAN)),
+        (narrow_ok(1), functools.partial(merged_pack, 1, 128, True)),
+        (tier_ok(1, FAST_SPAN), functools.partial(merged_pack, 1, FAST_SPAN)),
+        (mid_narrow_ok, functools.partial(plain_pack, 128, True)),
+        (tier_ok(1, WIDE_SPAN), functools.partial(merged_pack, 1, WIDE_SPAN)),
+        (span_need <= FAST_SPAN, functools.partial(plain_pack, FAST_SPAN)),
+        (span_need <= WIDE_SPAN, functools.partial(plain_pack, WIDE_SPAN)),
+        (span_need <= ROW_SPAN, functools.partial(plain_pack, ROW_SPAN)),
+    ]
+    prev = None
+    for cond, body in ladder:
+        fire = cond if prev is None else jnp.logical_not(prev) & cond
+        pl.when(fire)(body)
+        prev = cond if prev is None else prev | cond
 
 
 def encode_stripes_fused(
@@ -678,7 +703,8 @@ def encode_stripes_fused(
     scratch = [
         pltpu.VMEM((R, 128), jnp.int32),
         pltpu.VMEM((8 * R, 128), jnp.float32),
-        pltpu.VMEM((R, 1), jnp.int32),
+        pltpu.VMEM((R, 1), jnp.int32),   # scr_base
+        pltpu.VMEM((R, 1), jnp.int32),   # scr_first
     ]
     if mode == "direct":
         scratch.append(pltpu.VMEM((3 * R, 128), jnp.int32))
