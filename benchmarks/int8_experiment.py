@@ -176,24 +176,17 @@ def _packed_int8_operator(cfg: CodecConfig):
     return int8_digit_split(Mp)
 
 
-def tpu_phase(cfg: CodecConfig, mpix: int = 33):
-    """K-loop-delta throughput: production bf16x3 kernel vs int8x3 kernel,
-    identical packed-io harness (bench.py measure_mfu rules)."""
-    import functools
-    import time
+def build_run_int8(cfg: CodecConfig, rows: int):
+    """Jitted (rows, 128) u8 -> (rows, 128) i16 int8x3-digit encode kernel.
 
+    Factored out of tpu_phase so benchmarks/mosaic_lowering_check.py can
+    lower the exact same pallas_call for a TPU target without a chip."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     from dct_tpu.ops import transform_pallas as tpk
 
     digits, scales, c, qerr = _packed_int8_operator(cfg)
-    print(f"packed operator quant err {qerr:.2e}")
-
-    rows = mpix * 1024 * 1024 // 128
-    rows = -(-rows // tpk.TILE_ROWS) * tpk.TILE_ROWS
-    rng = np.random.default_rng(0)
-    px = jnp.asarray(rng.integers(0, 256, (rows, 128)), jnp.uint8)
 
     def int8_kernel(x_ref, d0_ref, d1_ref, d2_ref, s0_ref, s1_ref, s2_ref,
                     o_ref):
@@ -228,6 +221,25 @@ def tpu_phase(cfg: CodecConfig, mpix: int = 33):
                                    memory_space=pltpu.VMEM),
         )(x, *[jnp.asarray(d) for d in digits],
           *[jnp.asarray(s) for s in scales])
+
+    return run_int8, qerr
+
+
+def tpu_phase(cfg: CodecConfig, mpix: int = 33):
+    """K-loop-delta throughput: production bf16x3 kernel vs int8x3 kernel,
+    identical packed-io harness (bench.py measure_mfu rules)."""
+    import functools
+    import time
+
+    from dct_tpu.ops import transform_pallas as tpk
+
+    rows = mpix * 1024 * 1024 // 128
+    rows = -(-rows // tpk.TILE_ROWS) * tpk.TILE_ROWS
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.integers(0, 256, (rows, 128)), jnp.uint8)
+
+    run_int8, qerr = build_run_int8(cfg, rows)
+    print(f"packed operator quant err {qerr:.2e}")
 
     # correctness probe vs the f64 operator on a small slice first
     small = np.asarray(px[:512])

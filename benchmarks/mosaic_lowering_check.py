@@ -1,0 +1,197 @@
+"""Lower the fused encode kernel for a TPU target WITHOUT a TPU.
+
+`jax.export` with platforms=["tpu"] runs the jaxpr -> Mosaic-MLIR
+generation (plus tpu-dialect verification and mosaic-serde) on the host,
+so it catches the *lowering* class of Mosaic failures — unsupported
+primitives, reshape/layout restrictions, dtype limits at op-build time —
+for every pack-tier instantiation, even while the axon tunnel is down.
+
+What it does NOT validate: the libtpu pass pipeline
+(infer/apply-vector-layout, e.g. "Rotate with non-32-bit data" fires
+there) and numerics. Those still need benchmarks/tpu_parity.py on the
+real chip; this is the cheap front half of that check.
+
+Usage: python benchmarks/mosaic_lowering_check.py
+
+Exit 0 when every matrix cell lowers; prints one line per case.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+os.environ["DCT_TPU_FORCE_MOSAIC"] = "1"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+from jax import export  # noqa: E402
+
+sys.path.insert(0, ".")
+
+from dct_tpu.config import CodecConfig  # noqa: E402
+from dct_tpu.models import codec  # noqa: E402
+from dct_tpu.ops import huffman as hf  # noqa: E402
+from dct_tpu.ops import quant, transform  # noqa: E402
+from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused  # noqa: E402
+
+
+def lower_case(block: int, mode: str, full: bool) -> str | None:
+    """Returns None on success, else the error string."""
+    n2 = block * block
+    adaptive = dc = runs = full
+    runs = runs and block <= 8
+    use_h = mode != "none"
+    cfg = CodecConfig(
+        quality=30 if full else 50,
+        block_size=block,
+        adaptive=adaptive,
+        use_huffman=use_h,
+        huffman_mode=mode if use_h else "category",
+        static_tables=use_h and mode == "category",
+        coded_runs=runs,
+        dc_prediction=dc,
+    )
+    n_stripes, bps = 3, 17
+    nb = n_stripes * bps
+    rng = np.random.default_rng(block)
+    px = jnp.asarray(
+        rng.integers(0, 256, (nb, n2)).astype(np.uint8))
+
+    scale = None
+    if adaptive:
+        var = quant.block_variance_flat(transform.level_shift(px))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+
+    vmin = 0
+    if mode == "direct":
+        t = hf.CanonicalTable.from_frequencies(
+            np.ones(512, np.int64))  # shape-representative value table
+        vmin = codec.DIRECT_VMIN
+    else:
+        t = hf.default_category_table(cfg.quality)
+    lengths = jnp.asarray(t.lengths, jnp.int32)
+    codes = jnp.asarray(t.codes.astype(np.int64), jnp.uint32)
+    rl = rc = None
+    if runs:
+        rt = hf.default_run_table(cfg.quality)
+        rl = jnp.asarray(rt.lengths, jnp.int32)
+        rc = jnp.asarray(rt.codes.astype(np.int64), jnp.uint32)
+
+    args = [px, lengths, codes]
+    if scale is not None:
+        args.append(scale)
+    if rl is not None:
+        args += [rl, rc]
+
+    def fn(px, lengths, codes, *rest):
+        i = 0
+        sc = None
+        if scale is not None:
+            sc = rest[i]
+            i += 1
+        r_l = r_c = None
+        if rl is not None:
+            r_l, r_c = rest[i], rest[i + 1]
+        return encode_stripes_fused(
+            px, cfg, n_stripes, lengths, codes,
+            adaptive_scale=sc, run_lengths=r_l, run_codes=r_c, vmin=vmin,
+        )
+
+    try:
+        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        _ = exp.mlir_module_serialized
+        return None
+    except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
+        return f"{type(e).__name__}: {e}"
+
+
+def _try_lower(case: str, fn, *args) -> tuple[str, str] | None:
+    try:
+        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        _ = exp.mlir_module_serialized
+        print("LOWER-OK " + case, flush=True)
+        return None
+    except Exception as e:  # noqa: BLE001
+        print("FAIL " + case, flush=True)
+        return (case, f"{type(e).__name__}: {e}")
+
+
+def transform_kernel_cases() -> list[tuple[str, str] | None]:
+    """The standalone transform/decode kernels bench.py and the decode
+    scoreboard drive, plus the int8-experiment kernel (VERDICT r2 item 2),
+    so the TPU-gated queue cannot die on a lowering error."""
+    from dct_tpu.ops import transform_pallas as tpk
+
+    results = []
+    rng = np.random.default_rng(7)
+    for block in (2, 4, 8):
+        n2 = block * block
+        for adaptive in (False, True):
+            cfg = CodecConfig(quality=50, block_size=block,
+                              adaptive=adaptive, static_tables=True)
+            B = 3 * tpk.TILE_ROWS * (128 // n2) - 5
+            px = jnp.asarray(
+                rng.integers(0, 256, (B, n2)).astype(np.uint8))
+            scale = None
+            if adaptive:
+                var = quant.block_variance_flat(transform.level_shift(px))
+                scale = quant.scale_from_variance_code(
+                    quant.variance_code(var))
+            a = "adaptive" if adaptive else "plain"
+            results.append(_try_lower(
+                f"encode_blocks_pallas N={block} {a}",
+                lambda p, s=None: tpk.encode_blocks_pallas(
+                    p, cfg, adaptive_scale=s),
+                *( (px, scale) if adaptive else (px,) )))
+            zz = jnp.zeros((B, n2), jnp.int16)
+            results.append(_try_lower(
+                f"decode_blocks_pallas N={block} {a}",
+                lambda z, s=None: tpk.decode_blocks_pallas(
+                    z, cfg, adaptive_scale=s),
+                *( (zz, scale) if adaptive else (zz,) )))
+    # bench.py measure_mfu path: packed (rows, 128) IO, no layout copy
+    cfg = CodecConfig(quality=50, static_tables=True)
+    rows = 2 * tpk.TILE_ROWS
+    pk = jnp.zeros((rows, 128), jnp.uint8)
+    results.append(_try_lower(
+        "encode_blocks_pallas 8x8 packed_io",
+        lambda p: tpk.encode_blocks_pallas(p, cfg, packed_io=True), pk))
+    # int8x3 digit-split kernel (the roofline experiment's TPU phase)
+    from benchmarks.int8_experiment import build_run_int8
+
+    run_int8, _ = build_run_int8(cfg, rows)
+    results.append(_try_lower("int8x3 digit kernel", run_int8, pk))
+    return results
+
+
+def main() -> int:
+    failures = []
+    n = 0
+    for block in (4, 8, 16):
+        for mode in ("category", "direct", "none"):
+            for full in (False, True):
+                err = lower_case(block, mode, full)
+                case = (f"N={block} mode={mode} "
+                        f"{'adaptive+dc+runs' if full else 'plain'}")
+                print(("LOWER-OK " if err is None else "FAIL ") + case,
+                      flush=True)
+                n += 1
+                if err is not None:
+                    failures.append((case, err))
+    extra = transform_kernel_cases()
+    n += len(extra)
+    failures += [r for r in extra if r is not None]
+    for case, err in failures:
+        print(f"--- {case}\n{err[:2000]}", file=sys.stderr)
+    print(f"{n - len(failures)}/{n} lowered")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

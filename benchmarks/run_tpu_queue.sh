@@ -1,0 +1,41 @@
+#!/bin/bash
+# Round-3 TPU-gated measurement queue (VERDICT r2 items 2-6).
+#
+# The axon tunnel died mid-round; this runs the queued measurements in
+# priority order the moment it is back, one at a time (1-core host),
+# each under a hard timeout so a hung tunnel cannot eat the round.
+# Logs land in /tmp/tpuq/, artifacts in the repo root.
+#
+# Usage: bash benchmarks/run_tpu_queue.sh
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpuq
+
+run() { # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  echo "=== $name (timeout ${tmo}s) $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log
+  timeout "$tmo" "$@" >"/tmp/tpuq/$name.log" 2>&1
+  local rc=$?
+  echo "=== $name rc=$rc $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log
+  tail -3 "/tmp/tpuq/$name.log" | tee -a /tmp/tpuq/queue.log
+  return $rc
+}
+
+# 1. Mosaic-compiled byte-identity matrix (validates the merge tree on
+#    real hardware — interpret mode != Mosaic lowering != libtpu passes).
+run parity 2400 python benchmarks/tpu_parity.py --out TPU_PARITY_r03.json
+
+# 2. Headline scoreboard (encode + mfu + mfu_wrapper + decode line).
+run bench 1800 python bench.py
+
+# 3. Pack-tier quality sweep (targets: >=950 thru q90, >=900 at q97).
+run tier_sweep 2400 python benchmarks/tier_sweep.py
+
+# 4. int8x3 kernel timing (the >=90% roofline experiment, phase B).
+run int8 1800 python benchmarks/int8_experiment.py --tpu
+
+# 5. Dynamic-table fused cost + direct-mode fused throughput
+#    (the unbacked-comment measurements, VERDICT r2 weak #7).
+run dynamic_cost 1800 python benchmarks/dynamic_cost.py
+
+echo "queue done $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log

@@ -95,8 +95,7 @@ WIDE_SPAN = 384  # dense-content (q~97) middle ground: a merged pair's
                  # 384 span before falling to the 512 safe loop
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from dct_tpu.ops._mosaic import interpret as _interpret
 
 
 # Trace-time test hook (benchmarks/pack_experiments.py): skip the pack loop
@@ -379,8 +378,8 @@ def _fused_kernel(
         # run field gets its own canonical code (<= 8 bits, so every
         # worst-case shape matches the fixed-run layout): 64 selects
         # against the SMEM run table, same technique as the categories
-        rl = jnp.zeros_like(cat)
-        rc = jnp.zeros_like(cat)
+        rl = jnp.zeros_like(run)
+        rc = jnp.zeros_like(run)
         for c in range(65):  # runs 0..64 (64 = all-zero block terminal)
             rsel = run == c
             rl = rl + jnp.where(rsel, rlen_ref[0, 0, c], 0)

@@ -40,8 +40,7 @@ def _span(tile: int) -> int:
     return -(-(tile + 128) // 128) * 128 + 128
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from dct_tpu.ops._mosaic import interpret as _interpret
 
 
 def _pack_kernel(bases_ref, keys_ref, whi_ref, wlo_ref, out_ref, *, tile):

@@ -60,8 +60,7 @@ def _half(y):
 
 
 
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+from dct_tpu.ops._mosaic import interpret as _interpret
 
 
 from dct_tpu.ops import transform as _tf

@@ -220,21 +220,35 @@ def test_fused_block_sizes_match_staged(block, adaptive, dc, runs, quality):
 
 
 @pytest.mark.parametrize("mode", ["none", "direct"])
-def test_fused_direct_and_none_modes_match_staged(mode):
+@pytest.mark.parametrize("full", [False, True])
+def test_fused_direct_and_none_modes_match_staged(mode, full):
     """Round 2 extended the fused kernel beyond category entropy: raw
     16-bit "none" mode and per-value "direct" mode (513-entry alphabet
     gathered by an in-kernel one-hot MXU contraction, ESC appending the
-    raw 16-bit value). Byte-identity vs the staged pipeline."""
+    raw 16-bit value). Byte-identity vs the staged pipeline.
+
+    full=True adds adaptive + dc_prediction + coded_runs on top: the
+    round-3 Mosaic lowering sweep caught the coded-runs branch reading a
+    category-mode-only local (`cat`) when combined with direct/none —
+    a combination CodecConfig permits but no test exercised."""
     use_h = mode != "none"
     cfg = CodecConfig(
         quality=40, use_huffman=use_h,
         huffman_mode=mode if use_h else "category",
+        adaptive=full, dc_prediction=full, coded_runs=full,
+        static_tables=False,
     )
     n_stripes, bps = 3, 17
     nb = n_stripes * bps
     rng = np.random.default_rng(99)
     px = jnp.asarray(rng.integers(0, 256, (nb, 64)).astype(np.uint8))
-    zz = transform.encode_blocks(px, cfg)
+    scale = None
+    if full:
+        var = quant.block_variance_flat(transform.level_shift(px))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+    zz = transform.encode_blocks(px, cfg, adaptive_scale=scale)
+    if full:
+        zz = codec.dc_predict(zz, n_stripes)
     sym = rle.rle_encode_positional(zz)
     vmin = 0
     if mode == "direct":
@@ -252,9 +266,15 @@ def test_fused_direct_and_none_modes_match_staged(mode):
     else:
         lengths = jnp.zeros(1, jnp.int32)
         codes = jnp.zeros(1, jnp.uint32)
-    want = codec.encode_pack(sym, cfg, n_stripes, lengths, codes, None, None)
+    rl = rc = None
+    if full:
+        rt = hf.default_run_table(cfg.quality)
+        rl = jnp.asarray(rt.lengths, jnp.int32)
+        rc = jnp.asarray(rt.codes.astype(np.int64), jnp.uint32)
+    want = codec.encode_pack(sym, cfg, n_stripes, lengths, codes, rl, rc)
     got = encode_stripes_fused(
-        px, cfg, n_stripes, lengths, codes, vmin=vmin
+        px, cfg, n_stripes, lengths, codes, vmin=vmin,
+        adaptive_scale=scale, run_lengths=rl, run_codes=rc,
     )
     w = np.asarray(want.units)
     assert np.array_equal(
