@@ -61,6 +61,7 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
     i32p = ctypes.POINTER(ctypes.c_int32)
     u32p = ctypes.POINTER(ctypes.c_uint32)
     lib.dctbits_unpack_stripes.argtypes = [
@@ -75,7 +76,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u8p,              # run-table lengths (coded_runs; unused if size 0)
         ctypes.c_int,     # run-table size (0 = fixed 8-bit run field)
         ctypes.c_int,     # vmin
-        i32p,             # out (n_stripes * bps * n2)
+        i16p,             # out (n_stripes * bps * n2; wire values are i16)
         ctypes.c_int,     # n_threads
     ]
     lib.dctbits_unpack_stripes.restype = ctypes.c_int
@@ -144,7 +145,13 @@ def unpack_stripes(
     run_table=None,
     n_threads: int | None = None,
 ) -> np.ndarray:
-    """Decode stripe substreams -> (n_stripes * bps, n2) int32 zigzag.
+    """Decode stripe substreams -> (n_stripes * bps, n2) int16 zigzag.
+
+    int16 because the wire values are 16-bit two's complement and the
+    device decode kernels consume i16 — half the store traffic here and
+    half the coefficient-upload bytes on the decode_to_device path. The
+    buffer starts uninitialized; the C decoder zeroes each block in its
+    own loop (a separate full-array fill cost ~15% of the entropy path).
 
     n_threads defaults to the host's core count (stripes are the parallel
     axis; on a 1-core host the LUT decoder still runs ~650 Mpix/s)."""
@@ -156,7 +163,7 @@ def unpack_stripes(
     n_stripes, buf, offsets, lengths, run_lengths, run_size = (
         _marshal_stripes(stripes, table, run_table)
     )
-    out = np.zeros((n_stripes * blocks_per_stripe, n2), np.int32)
+    out = np.empty((n_stripes * blocks_per_stripe, n2), np.int16)
     rc = lib.dctbits_unpack_stripes(
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -169,7 +176,7 @@ def unpack_stripes(
         run_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         run_size,
         vmin,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         n_threads,
     )
     if rc != 0:

@@ -176,7 +176,7 @@ inline int32_t value_from_category(int cat, uint32_t extra) {
 void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
                        int mode, const CanonicalTable* table, int vmin,
                        int n_alpha, const CanonicalTable* run_table,
-                       int32_t* out, int* err,
+                       int16_t* out, int* err,
                        uint64_t* consumed_bits = nullptr) {
   BitReader r{data, nbytes};
   // With the reference-convention fixed run field (8 bits; 9 for 16x16
@@ -201,7 +201,12 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
     return run;
   };
   for (int b = 0; b < bps; ++b) {
-    int32_t* blockp = out + (int64_t)b * n2;
+    int16_t* blockp = out + (int64_t)b * n2;
+    // The decoder only stores nonzero coefficients; zero the block here
+    // (cache-warm with the stores that follow) so callers can hand in an
+    // uninitialized buffer instead of paying a separate full-array fill
+    // (~0.5 ms per 1080p frame, ~15% of the entropy-decode path).
+    memset(blockp, 0, (size_t)n2 * sizeof(int16_t));
     int pos = 0;
     while (pos < n2) {
       int32_t v = 0;
@@ -236,7 +241,7 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
       }
       if (run < 0) { *err = 2; return; }
       pos += run;
-      if (pos < n2) blockp[pos++] = v;
+      if (pos < n2) blockp[pos++] = (int16_t)v;
     }
     if (!r.ok()) { *err = 3; return; }
   }
@@ -267,11 +272,16 @@ extern "C" {
 // Decode n_stripes independent substreams (offsets[i]..offsets[i+1] bytes
 // each) of bps blocks into out[(stripe*bps + b)*n2 + k]. Returns 0 on
 // success. Stripes run on up to n_threads worker threads.
+// out is int16 — the wire values are 16-bit two's complement and the
+// device decode kernels consume i16, so this halves the store traffic
+// here AND the coefficient upload on the decode_to_device path. out may
+// be uninitialized: each block is zeroed in the decode loop. On a nonzero
+// return, out contents are unspecified past the failing block.
 int dctbits_unpack_stripes(const uint8_t* blob, const uint64_t* offsets,
                            int n_stripes, int bps, int n2, int mode,
                            const uint8_t* table_lengths, int table_size,
                            const uint8_t* run_lengths, int run_table_size,
-                           int vmin, int32_t* out, int n_threads) {
+                           int vmin, int16_t* out, int n_threads) {
   CanonicalTable table;
   int n_alpha = table_size - 1;  // direct mode: last symbol is ESC
   if (mode != kNone) table.build(table_lengths, table_size);
@@ -312,9 +322,10 @@ int dctbits_verify_stripes(const uint8_t* blob, const uint64_t* offsets,
   const CanonicalTable* run_ptr = run_table_size > 0 ? &run_table : nullptr;
 
   auto work = [&](int lo, int hi) {
-    std::vector<int32_t> scratch((size_t)bps * n2);
+    // decode_one_stripe zeroes each block itself, so the scratch needs no
+    // per-stripe refill
+    std::vector<int16_t> scratch((size_t)bps * n2);
     for (int s = lo; s < hi; ++s) {
-      std::fill(scratch.begin(), scratch.end(), 0);
       int err = 0;
       uint64_t consumed = 0;
       decode_one_stripe(blob + offsets[s], offsets[s + 1] - offsets[s], bps,

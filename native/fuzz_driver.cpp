@@ -30,7 +30,7 @@
 extern "C" {
 int dctbits_unpack_stripes(const uint8_t*, const uint64_t*, int, int, int,
                            int, const uint8_t*, int, const uint8_t*, int, int,
-                           int32_t*, int);
+                           int16_t*, int);
 int dctbits_verify_stripes(const uint8_t*, const uint64_t*, int, int, int,
                            int, const uint8_t*, int, const uint8_t*, int, int,
                            const uint32_t*, int32_t*, int);
@@ -108,7 +108,7 @@ int main(int argc, char** argv) {
                          mode, table_lengths.data(), table_size,
                          run_lengths.data(), run_table_size, vmin,
                          expected_bits.data(), status.data(), 2);
-  std::vector<int32_t> out((size_t)n_stripes * bps * n2, 0);
+  std::vector<int16_t> out((size_t)n_stripes * bps * n2, 0);
   int rc = dctbits_unpack_stripes(
       blob.data(), offsets.data(), n_stripes, bps, n2, mode,
       table_lengths.data(), table_size, run_lengths.data(), run_table_size,
@@ -116,7 +116,7 @@ int main(int argc, char** argv) {
   // report what happened so the test can assert detection behavior; any
   // sanitizer abort would have exited nonzero before reaching this line
   int64_t checksum = 0;
-  for (int32_t v : out) checksum += v;
+  for (int16_t v : out) checksum += v;
   printf("unpack_rc=%d checksum=%lld status=", rc, (long long)checksum);
   for (int s = 0; s < n_stripes; ++s)
     printf("%d%c", status[s], s + 1 == n_stripes ? '\n' : ',');
