@@ -41,11 +41,25 @@ from dct_tpu.ops import quant, transform  # noqa: E402
 from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused  # noqa: E402
 
 
-def lower_case(block: int, mode: str, full: bool) -> str | None:
-    """Returns None on success, else the error string."""
+def _try_lower(case: str, fn, *args) -> tuple[str, str] | None:
+    """Export fn for a TPU target; print the outcome; return the failure
+    (case, error) or None. The single export/serialize path every sweep
+    cell goes through."""
+    try:
+        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
+        _ = exp.mlir_module_serialized
+        print("LOWER-OK " + case, flush=True)
+        return None
+    except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
+        print("FAIL " + case, flush=True)
+        return (case, f"{type(e).__name__}: {e}")
+
+
+def lower_case(block: int, mode: str, full: bool) -> tuple[str, str] | None:
+    """One fused-kernel matrix cell. Returns _try_lower's result."""
     n2 = block * block
     adaptive = dc = runs = full
-    runs = runs and block <= 8
+    runs = runs and block <= 8  # run-code alphabet covers runs 0..64 only
     use_h = mode != "none"
     cfg = CodecConfig(
         quality=30 if full else 50,
@@ -103,23 +117,13 @@ def lower_case(block: int, mode: str, full: bool) -> str | None:
             adaptive_scale=sc, run_lengths=r_l, run_codes=r_c, vmin=vmin,
         )
 
-    try:
-        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
-        _ = exp.mlir_module_serialized
-        return None
-    except Exception as e:  # noqa: BLE001 — report, don't crash the sweep
-        return f"{type(e).__name__}: {e}"
-
-
-def _try_lower(case: str, fn, *args) -> tuple[str, str] | None:
-    try:
-        exp = export.export(jax.jit(fn), platforms=["tpu"])(*args)
-        _ = exp.mlir_module_serialized
-        print("LOWER-OK " + case, flush=True)
-        return None
-    except Exception as e:  # noqa: BLE001
-        print("FAIL " + case, flush=True)
-        return (case, f"{type(e).__name__}: {e}")
+    # label the features that are ACTUALLY enabled (runs is forced off at
+    # block=16, so its full cell must not claim coded-runs coverage)
+    feats = "+".join(
+        n for n, on in (("adaptive", adaptive), ("dc", dc), ("runs", runs))
+        if on
+    ) or "plain"
+    return _try_lower(f"N={block} mode={mode} {feats}", fn, *args)
 
 
 def transform_kernel_cases() -> list[tuple[str, str] | None]:
@@ -176,14 +180,10 @@ def main() -> int:
     for block in (4, 8, 16):
         for mode in ("category", "direct", "none"):
             for full in (False, True):
-                err = lower_case(block, mode, full)
-                case = (f"N={block} mode={mode} "
-                        f"{'adaptive+dc+runs' if full else 'plain'}")
-                print(("LOWER-OK " if err is None else "FAIL ") + case,
-                      flush=True)
+                r = lower_case(block, mode, full)
                 n += 1
-                if err is not None:
-                    failures.append((case, err))
+                if r is not None:
+                    failures.append(r)
     extra = transform_kernel_cases()
     n += len(extra)
     failures += [r for r in extra if r is not None]

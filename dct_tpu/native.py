@@ -25,6 +25,11 @@ _build_failed = False
 
 _MODE_IDS = {"category": 0, "direct": 1, "none": 2}
 
+# Must equal bitpack.cpp's dctbits_abi_version(). v2: unpack_stripes
+# writes int16 coefficients (v1 wrote int32 — calling a v1 library
+# through the v2 signature would overflow the half-size output buffer).
+_ABI_VERSION = 2
+
 
 def _build() -> bool:
     try:
@@ -60,6 +65,16 @@ def _load() -> Optional[ctypes.CDLL]:
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    # ABI handshake BEFORE binding any signature: a stale .so that make
+    # failed to rebuild must fall back to the Python paths, not be called
+    # through mismatched argtypes. AttributeError (symbol absent = v1)
+    # propagates to _load's except; a version mismatch raises OSError.
+    lib.dctbits_abi_version.restype = ctypes.c_int
+    ver = lib.dctbits_abi_version()
+    if ver != _ABI_VERSION:
+        raise OSError(
+            f"libdctbits ABI {ver} != expected {_ABI_VERSION} (stale build)"
+        )
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i16p = ctypes.POINTER(ctypes.c_int16)
     i32p = ctypes.POINTER(ctypes.c_int32)

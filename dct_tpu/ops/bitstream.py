@@ -534,12 +534,19 @@ def unpack_stripe_host(
     so a mismatch is a corruption signal (models/recovery.py).
     """
     r = BitReader(data)
-    out = np.zeros((n_blocks, n2), np.int32)
+    # int16: the wire's coefficient space (matches the native decoder's
+    # output so the two decoders stay byte-identical, not just value-equal)
+    out = np.zeros((n_blocks, n2), np.int16)
     for b in range(n_blocks):
         pos = 0
         while pos < n2:
             if mode == "category":
                 c = cat_table.decode_one(r)
+                if c > 15:
+                    # categories above 15 exceed the int16 coefficient
+                    # space — foreign/corrupt table; the native decoder
+                    # rejects identically (err=2)
+                    raise ValueError(f"category {c} exceeds the wire range")
                 if c:
                     extra = r.read_bits(c)
                     v = int(hf.value_from_category(np.int32(c), np.int64(extra)))

@@ -215,9 +215,14 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
       if (mode == kCategory) {
         int len;
         int cat = r.decode_symbol(*table, w, &len);
-        // cat > 31: only reachable with a foreign/corrupt table (the wire
-        // packer emits categories <= 31); the shifts below would be UB
-        if (cat < 0 || cat > 31) { *err = 2; return; }
+        // The wire's coefficient space is int16, so valid streams carry
+        // categories <= 15 (the encoder's category computation saturates
+        // there; the 16-entry table has no higher code). cat 16..31 is
+        // only reachable with a foreign/corrupt table — values would not
+        // fit the int16 output (and >31 would be shift UB), so reject
+        // rather than silently truncate; the Python reference decoder
+        // rejects identically.
+        if (cat < 0 || cat > 15) { *err = 2; return; }
         uint32_t extra =
             cat ? (uint32_t)((w << len) >> (64 - cat)) : 0;
         run = read_run(w, len + cat);
@@ -268,6 +273,13 @@ void run_parallel(const F& work, int n, int n_threads) {
 }  // namespace
 
 extern "C" {
+
+// Binding handshake: dct_tpu/native.py refuses a library whose ABI
+// version differs from its own (a stale prebuilt .so that `make` could
+// not rebuild would otherwise be called through a mismatched signature —
+// e.g. v2 changed unpack's out buffer from int32 to int16, which an old
+// library would overflow). Bump on ANY signature or contract change.
+int dctbits_abi_version(void) { return 2; }
 
 // Decode n_stripes independent substreams (offsets[i]..offsets[i+1] bytes
 // each) of bps blocks into out[(stripe*bps + b)*n2 + k]. Returns 0 on

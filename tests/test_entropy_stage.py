@@ -318,3 +318,42 @@ class TestDevicePacker:
         if native.available():
             nat = native.unpack_stripes(stripes, 4, 64, mode, table, -255)
             np.testing.assert_array_equal(nat, zz)
+
+
+class TestNativeAbiHandshake:
+    def test_stale_library_falls_back(self, monkeypatch):
+        """A prebuilt libdctbits.so from before an ABI change (e.g. v1's
+        int32 unpack output vs v2's int16) must NOT bind — calling a v1
+        library through the v2 signature would overflow the output
+        buffer. _load must return None for both failure shapes: the
+        version symbol missing entirely, and a version mismatch."""
+        import ctypes as _ct
+
+        from dct_tpu import native as nat
+
+        class _NoSymbol:
+            def __getattr__(self, name):
+                raise AttributeError(name)
+
+        class _VerFn:
+            restype = None
+
+            def __call__(self):
+                return nat._ABI_VERSION - 1
+
+        class _WrongVersion:
+            dctbits_abi_version = _VerFn()
+
+        for fake in (_NoSymbol(), _WrongVersion()):
+            monkeypatch.setattr(nat, "_lib", None)
+            monkeypatch.setattr(nat, "_build_failed", False)
+            monkeypatch.setattr(_ct, "CDLL", lambda *a, **k: fake)
+            assert nat._load() is None
+            assert not nat.available()  # caches the failure
+
+        # the real library binds again after the fakes are removed
+        monkeypatch.undo()
+        nat._lib = None
+        nat._build_failed = False
+        assert nat.available()
+        assert nat._load().dctbits_abi_version() == nat._ABI_VERSION
