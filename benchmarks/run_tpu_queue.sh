@@ -11,6 +11,15 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpuq
 
+# 1-core host: timing runs are garbage under contention (CLAUDE.md).
+# If a test suite happens to be running when the tunnel comes back,
+# wait for it to drain before starting the measurements.
+for _ in $(seq 1 120); do
+  pgrep -f "python -m pytest" >/dev/null 2>&1 || break
+  echo "$(date +%H:%M:%S) waiting for pytest to finish" >> /tmp/tpuq/queue.log
+  sleep 60
+done
+
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
   echo "=== $name (timeout ${tmo}s) $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log
