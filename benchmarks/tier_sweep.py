@@ -53,10 +53,7 @@ def predict_tiers(frame: np.ndarray, cfg, n_stripes: int) -> dict[str, int]:
     vals = np.asarray(sym.values)
     is_sym = np.asarray(sym.is_sym)
     lengths = np.asarray(hf.default_category_table(cfg.quality).lengths)
-    cat = np.zeros_like(vals)
-    a = np.abs(vals)
-    for c in range(15):
-        cat += (a >= (1 << c)).astype(vals.dtype)
+    cat = np.asarray(hf.category_of(jnp.asarray(vals)))
     t3 = np.where(is_sym, lengths[cat] + cat + 8, 0)
 
     nb = vals.shape[0]
@@ -68,11 +65,27 @@ def predict_tiers(frame: np.ndarray, cfg, n_stripes: int) -> dict[str, int]:
     pad = 2 * R - bps
     blk_bits = np.pad(blk_bits, ((0, 0), (0, pad)))
     blk_live = np.pad(blk_live, ((0, 0), (0, pad)))
+    # last-symbol bits per block: lane n2-1 always carries a symbol in a
+    # live block (the RLE terminal), so t3[..., 63] is its length (0 for
+    # pad blocks)
+    blk_last = np.pad(
+        t3[:, 63].reshape(n_stripes, bps), ((0, 0), (0, pad))
+    ).reshape(n_stripes, R, 2)
     rowbits = blk_bits.reshape(n_stripes, R, 2).sum(-1)
     rowlive = blk_live.reshape(n_stripes, R, 2).sum(-1)
     rp = np.cumsum(rowbits, axis=1)
     rp_ex = rp - rowbits
-    last_k = rp >> 4  # max kmat over a row's 128 lanes = (rp_ex+rowbits)>>4
+    # max kmat over a row's lanes: the kernel takes max(off >> 4) over all
+    # 128 lanes, where off = rp_ex + pi - t3. On a fully-live row the max
+    # is the LAST SYMBOL's offset = (rp - its t3) >> 4 (an earlier version
+    # used rp >> 4, one unit high on ~75% of rows). But DEAD lanes (a pad
+    # block in the row, or a dead row) sit at off = rp_ex + pi - 0 = rp
+    # and dominate, so rows whose second block is padding keep rp >> 4.
+    row_last = np.where(
+        (blk_last[:, :, 1] == 0) & (blk_last[:, :, 0] > 0),
+        0, blk_last[:, :, 1],
+    )
+    last_k = (rp - row_last) >> 4
     base = ((rp_ex >> 4) >> 7) << 7
 
     first = rp_ex >> 4

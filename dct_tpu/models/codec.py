@@ -167,7 +167,7 @@ def encode_pack(
     bps = nb // n_stripes  # blocks per stripe (static)
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
     cl = cl.reshape(n_stripes, bps * cl.shape[1], 3)
-    capacity = bps * bs.units_per_block_worst(cfg.n2)
+    capacity = bps * bs.units_per_block_worst(cfg.n2, cfg.coded_runs)
     if jax.default_backend() == "tpu":
         from dct_tpu.ops.pack_pallas import pack_chunks_pallas
 

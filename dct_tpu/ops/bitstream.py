@@ -53,14 +53,20 @@ def run_field_bits(n2: int) -> int:
     return max(8, int(n2).bit_length())
 
 
-def units_per_block_worst(n2: int = 64) -> int:
+def units_per_block_worst(n2: int = 64, coded_runs: bool = False) -> int:
     """Worst-case 16-bit stream units one n2-coefficient block can emit.
 
     Round-1 hardcoded the 64-symbol (8x8) figure everywhere, which
     under-allocates the pack buffer for 16x16 blocks (256 symbols) under
-    adversarial content; capacity must scale with the block size."""
-    bits = 16 + 15 + run_field_bits(n2)
-    return (n2 * (bits + 1) + 15) // 16
+    adversarial content; capacity must scale with the block size.
+
+    Per-symbol ceiling: 16-bit code + 16-bit payload (direct-mode ESC raw;
+    covers category's 15 extra bits too) + the run field — fixed
+    run_field_bits(n2), or up to a 16-bit canonical run code under
+    coded_runs (a caller-supplied run table may assign ANY run a
+    max-length code, so capacity cannot assume the tuned tables)."""
+    bits = 16 + 16 + (16 if coded_runs else run_field_bits(n2))
+    return (n2 * bits + 15) // 16
 
 
 UNITS_PER_BLOCK_WORST = units_per_block_worst(64)  # 160 (8x8 blocks)

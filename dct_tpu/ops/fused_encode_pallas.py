@@ -103,6 +103,37 @@ from dct_tpu.ops._mosaic import interpret as _interpret
 # back zero — NEVER set outside benchmarks.
 _SKIP_PACK = False
 
+# Trace-time test hook (tests/test_fused_encode.py): drop the first N
+# rungs of the pack-tier ladder so the cold rungs (pair-wide, mid,
+# mid-wide, safe) get direct byte-identity coverage — every rung is
+# correct for any content its condition admits, and eligibility is
+# monotone down the ladder, so ordinary sparse content exercises
+# whichever rung comes first. NEVER set outside tests.
+_LADDER_START = 0
+
+# Ladder rung indexes for the hook (keep in sync with the ladder below).
+_TIER_INDEX = {
+    "oct_narrow": 0, "oct": 1, "quad_narrow": 2, "quad": 3,
+    "pair_narrow": 4, "pair": 5, "mid_narrow": 6, "pair_wide": 7,
+    "mid": 8, "mid_wide": 9, "safe": 10,
+}
+
+
+def _safe_span(mode: str, coded_runs: bool, run_bits: int) -> int:
+    """Span of the ladder's final (always-eligible) rung: the worst-case
+    row unit extent for this mode + 127 alignment slack + 4 digit margin,
+    rounded to the 128-unit grid. Worst per-symbol bits: a 16-bit code
+    (canonical cap), the payload (15 extra bits in category mode, 16 raw
+    for a direct-mode ESC, 0 in none mode), and the run field (a 16-bit
+    canonical run code under coded_runs, else the fixed field). A full
+    128-lane row of such symbols = 8 * t3 units. ROW_SPAN (512) covers
+    every mode except direct + coded_runs (48-bit symbols -> 384 + 131 =
+    515 -> 640)."""
+    lb_max = {"category": 15, "direct": 16, "none": 0}[mode]
+    t3_max = 16 + lb_max + (16 if coded_runs else run_bits)
+    need = 8 * t3_max + 127 + 4
+    return max(ROW_SPAN, -(-need // 128) * 128)
+
 
 def _compact_rows(planes, alive, pos):
     """Stable lane-compaction: squeeze each row's alive lanes to the left.
@@ -564,9 +595,12 @@ def _fused_kernel(
         pack_loop(span, 1, narrow)
 
     # Ladder in measured-cost order (see the tier comment above); each
-    # branch fires iff no cheaper branch's condition held. The final
-    # condition is provably true (ROW_SPAN covers the worst case: 312
-    # max row extent + 127 slack + 4 digit margin = 443 <= 512).
+    # branch fires iff no cheaper branch's condition held. The final rung
+    # is UNCONDITIONAL: its span comes from _safe_span's per-mode
+    # worst-case bound (ROW_SPAN for every mode except direct +
+    # coded_runs, whose 48-bit symbols need 640), so no stripe can fall
+    # through to an all-zero pack while bits_ref reports a length.
+    safe = _safe_span(mode, coded_runs, run_bits)
     ladder = [
         (narrow_ok(3), functools.partial(merged_pack, 3, 128, True)),
         (tier_ok(3, FAST_SPAN), functools.partial(merged_pack, 3, FAST_SPAN)),
@@ -578,10 +612,10 @@ def _fused_kernel(
         (tier_ok(1, WIDE_SPAN), functools.partial(merged_pack, 1, WIDE_SPAN)),
         (span_need <= FAST_SPAN, functools.partial(plain_pack, FAST_SPAN)),
         (span_need <= WIDE_SPAN, functools.partial(plain_pack, WIDE_SPAN)),
-        (span_need <= ROW_SPAN, functools.partial(plain_pack, ROW_SPAN)),
+        (span_need >= 0, functools.partial(plain_pack, safe)),
     ]
     prev = None
-    for cond, body in ladder:
+    for cond, body in ladder[_LADDER_START:]:
         fire = cond if prev is None else jnp.logical_not(prev) & cond
         pl.when(fire)(body)
         prev = cond if prev is None else prev | cond
@@ -653,10 +687,14 @@ def encode_stripes_fused(
         em0, em1, em2, eb = tpk._packed_encode_operator_split(
             cfg, chroma=chroma
         )
-    units_capacity = bps * bs.units_per_block_worst(n2)
-    U_pad = -(-(units_capacity + ROW_SPAN) // 128) * 128
-
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    units_capacity = bps * bs.units_per_block_worst(n2, cfg.coded_runs)
+    # pad with the final rung's span: its 128-aligned window starting at
+    # the last row's base must stay inside the buffer
+    U_pad = -(-(units_capacity
+                + _safe_span(mode, cfg.coded_runs, bs.run_field_bits(n2)))
+              // 128) * 128
+
     n_alpha = 0
     if mode == "direct":
         # (640, 4) f32 byte-plane table [len, code_hi, code_lo, 0] for the

@@ -359,17 +359,22 @@ def test_merge_tree_unit():
                 assert not out[g, total:].any(), f"pat={pat} k={k} g={g}"
 
 
+@pytest.mark.parametrize("tier", ["pair_wide", "mid", "mid_wide", "safe"])
 @pytest.mark.parametrize("quality", [50, 95])
-def test_wide_tiers_match_staged(monkeypatch, quality):
-    """Deterministically drive the WIDE_SPAN branches (pair-wide /
-    mid-wide): shrinking FAST_SPAN to 128 makes ordinary content overflow
-    the fast span (the <=127 alignment slack alone nearly fills it), so
-    stripes land in the 384-span tiers — which must stay byte-identical.
-    (Tier choice is data-dependent inside the kernel; this is the only
-    deterministic way to pin coverage of those branches.)"""
+def test_cold_tiers_match_staged(monkeypatch, quality, tier):
+    """Direct byte-identity coverage of the ladder's COLD rungs.
+
+    Tier choice is data-dependent inside the kernel, and ordinary
+    content always satisfies a cheaper rung first (the round-3 narrow
+    tiers made the old shrink-FAST_SPAN trick vacuous: mid-narrow is
+    first-unit-relative and captured every stripe before the wide
+    rungs). _LADDER_START drops the cheaper rungs at trace time; every
+    rung is correct for any content its own condition admits and
+    eligibility is monotone down the ladder, so this pins real
+    execution of pair-wide, mid, mid-wide, and the safe loop."""
     from dct_tpu.ops import fused_encode_pallas as fep
 
-    monkeypatch.setattr(fep, "FAST_SPAN", 128)
+    monkeypatch.setattr(fep, "_LADDER_START", fep._TIER_INDEX[tier])
     cfg = CodecConfig(quality=quality, static_tables=True)
     n_stripes, bps = 3, 30
     nb = n_stripes * bps
@@ -381,6 +386,56 @@ def test_wide_tiers_match_staged(monkeypatch, quality):
     lengths, codes = _table()
     want = _staged(pixels, cfg, n_stripes, lengths, codes, None)
     got = fep.encode_stripes_fused(pixels, cfg, n_stripes, lengths, codes)
+    np.testing.assert_array_equal(
+        np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
+    )
+    w = np.asarray(want.units)
+    g = np.asarray(got.units)
+    np.testing.assert_array_equal(g[:, : w.shape[1]], w)
+    assert not g[:, w.shape[1]:].any()
+
+
+def test_safe_span_covers_direct_coded_runs(monkeypatch):
+    """direct + coded_runs has 48-bit worst-case symbols (16 code + 16
+    ESC raw + 16 run code) -> 515-unit worst row extent, past ROW_SPAN
+    (512). _safe_span must widen the final rung (and the unit buffer)
+    so a fully-dense stripe still packs byte-identically through the
+    safe loop (forced via _LADDER_START)."""
+    from dct_tpu.ops import fused_encode_pallas as fep
+
+    assert fep._safe_span("direct", True, 8) == 640
+    assert fep._safe_span("category", True, 8) == 512
+    assert fep._safe_span("direct", False, 8) == 512
+    assert fep._safe_span("none", True, 8) == 512
+
+    monkeypatch.setattr(fep, "_LADDER_START", fep._TIER_INDEX["safe"])
+    cfg = CodecConfig(
+        quality=30, huffman_mode="direct", coded_runs=True,
+        static_tables=False,
+    )
+    n_stripes, bps = 2, 17
+    nb = n_stripes * bps
+    rng = np.random.default_rng(3)
+    px = jnp.asarray(rng.integers(0, 256, (nb, 64)).astype(np.uint8))
+    zz = transform.encode_blocks(px, cfg)
+    sym = rle.rle_encode_positional(zz)
+    vals = np.asarray(sym.values)[np.asarray(sym.is_sym)]
+    hist = np.ones(513, np.int64)
+    for v in vals:
+        idx = v - codec.DIRECT_VMIN
+        if 0 <= idx < 511:
+            hist[idx] += 3
+    t = hf.CanonicalTable.from_frequencies(hist)
+    lengths = jnp.asarray(t.lengths, jnp.int32)
+    codes = jnp.asarray(t.codes.astype(np.int64), jnp.uint32)
+    rt = hf.default_run_table(cfg.quality)
+    rl = jnp.asarray(rt.lengths, jnp.int32)
+    rc = jnp.asarray(rt.codes.astype(np.int64), jnp.uint32)
+    want = codec.encode_pack(sym, cfg, n_stripes, lengths, codes, rl, rc)
+    got = fep.encode_stripes_fused(
+        px, cfg, n_stripes, lengths, codes,
+        vmin=codec.DIRECT_VMIN, run_lengths=rl, run_codes=rc,
+    )
     np.testing.assert_array_equal(
         np.asarray(got.bit_lengths), np.asarray(want.bit_lengths)
     )
