@@ -265,6 +265,13 @@ def _encode_step_sharded(
     either way (asserted by tests/test_collectives.py).
     """
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    if n_stripes % n_dev:
+        # a silent floor division would re-segment stripes wrongly
+        # (encode_plane_sharded pre-pads, so it never trips this)
+        raise ValueError(
+            f"n_stripes={n_stripes} must divide over the {n_dev}-device "
+            f"stripe axis"
+        )
     local_stripes = n_stripes // n_dev
     ps_spec = bs.PackedStripes(
         units=P(meshlib.STRIPE_AXIS, None),
@@ -277,6 +284,11 @@ def _encode_step_sharded(
         mesh=mesh,
         in_specs=P(meshlib.STRIPE_AXIS, None),
         out_specs=out_specs,
+        # jax 0.9's check_vma=True rejects pl.pallas_call outputs (their
+        # ShapeDtypeStruct carries vma=None), and every TPU-backend path
+        # in encode_step is Pallas (fused kernel / pack kernel). The body
+        # is embarrassingly parallel — no cross-shard values to check.
+        check_vma=False,
     )
     def f(local_img):
         return _codec.encode_step(local_img, cfg, local_stripes, chroma)
@@ -430,7 +442,13 @@ def _batch_step(cfg: CodecConfig, n_stripes: int, mesh: Mesh):
     """Jitted shard_map'd dp x sp step (cached per config/mesh; also
     lowered directly by tests/test_collectives.py to pin zero collectives
     in the compiled HLO — same reasoning as _encode_step_sharded)."""
-    local_stripes = n_stripes // mesh.shape[meshlib.STRIPE_AXIS]
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    if n_stripes % n_dev:
+        raise ValueError(
+            f"n_stripes={n_stripes} must divide over the {n_dev}-device "
+            f"stripe axis (a floor division would re-segment stripes)"
+        )
+    local_stripes = n_stripes // n_dev
     ps_spec = bs.PackedStripes(
         units=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
         bit_lengths=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
@@ -442,6 +460,9 @@ def _batch_step(cfg: CodecConfig, n_stripes: int, mesh: Mesh):
         mesh=mesh,
         in_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
         out_specs=ps_spec,
+        # see _encode_step_sharded: pallas_call under check_vma=True is
+        # rejected on the TPU backend (vma=None out_shapes)
+        check_vma=False,
     )
     def step(fr):
         packed, _ = jax.vmap(

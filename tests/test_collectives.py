@@ -37,9 +37,14 @@ pytestmark = pytest.mark.skipif(
 
 # Collective-op mnemonics in post-partitioning optimized HLO. "-start"
 # variants cover async lowering; "-done" is the completion of the same
-# op, so it is excluded from counts.
+# op, so it is excluded from counts. The result type between "=" and the
+# opcode may be a TUPLE for variadic collectives (e.g. a multi-operand
+# psum lowers to "= (s32[2]{0}, s32[8]{0}) all-reduce(...)"), so the
+# type matcher must span parenthesized, space-containing types — a bare
+# \S* missed those entirely and the zero-collective guards passed
+# vacuously for variadic regressions.
 _COLLECTIVE_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*\S*\s*("
+    r"^\s*(?:ROOT\s+)?%?\S+\s*=\s*(?:\([^)]*\)|\S+)\s*("
     r"all-reduce|all-gather|all-to-all|collective-permute|reduce-scatter"
     r")(?:-start)?\(",
 )

@@ -214,3 +214,48 @@ class TestShardedCodedRuns:
         )
         got = shard_encode.encode_image_sharded(img, cfg, mesh)
         assert got == want  # byte-identical incl. the psum'd run table
+
+
+class TestPallasUnderShardMap:
+    """jax 0.9's shard_map default check_vma=True rejects pl.pallas_call
+    outputs (their ShapeDtypeStruct carries vma=None). Every TPU-backend
+    path in encode_step is Pallas, but the CPU suite gates Pallas off —
+    so the sharded static encode crashed ONLY on the hardware it targets
+    until check_vma=False was passed. use_pallas=True on CPU traces the
+    interpret-mode pallas_call under shard_map, which reproduces the
+    exact trace-time failure and pins the fix backend-independently."""
+
+    def test_sharded_pallas_byte_identical(self, photo):
+        cfg = CodecConfig(quality=50, static_tables=True, use_pallas=True)
+        single = codec.encode(photo, CodecConfig(quality=50, static_tables=True))
+        mesh = meshlib.make_mesh()  # 1 x 8
+        sharded = shard_encode.encode_image_sharded(photo, cfg, mesh)
+        assert sharded == single
+
+    def test_batch_step_pallas(self):
+        cfg = CodecConfig(quality=50, static_tables=True, use_pallas=True)
+        frames = np.stack(
+            [image_io.synthetic_image(64, 64, "photo", seed=s) for s in range(2)]
+        )
+        mesh = meshlib.make_mesh(n_data=2, n_stripe=4)
+        packed = shard_encode.encode_batch_step(
+            jnp.asarray(frames), cfg, 8, mesh
+        )
+        single, _ = codec.encode_step(
+            jnp.asarray(frames[0]),
+            CodecConfig(quality=50, static_tables=True), 8,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(packed.bit_lengths)[0], np.asarray(single.bit_lengths)
+        )
+
+    def test_batch_step_nondivisible_raises(self):
+        cfg = CodecConfig(quality=50, static_tables=True)
+        frames = np.stack(
+            [image_io.synthetic_image(64, 64, "photo", seed=s) for s in range(2)]
+        )
+        mesh = meshlib.make_mesh(n_data=2, n_stripe=4)
+        with pytest.raises(ValueError, match="stripe axis"):
+            shard_encode.encode_batch_step(
+                jnp.asarray(frames), cfg, 6, mesh
+            )
