@@ -24,6 +24,11 @@ import sys
 import numpy as np
 
 os.environ["DCT_TPU_FORCE_MOSAIC"] = "1"
+# sharded cells trace shard_map over an 8-device mesh
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
 
 import jax  # noqa: E402
 
@@ -174,6 +179,46 @@ def transform_kernel_cases() -> list[tuple[str, str] | None]:
     return results
 
 
+def sharded_cases() -> list[tuple[str, str] | None]:
+    """shard_map'd Pallas steps (the round-3 check_vma crash class): the
+    sharded static encode, the dp x sp batch step, and the sharded
+    decode's in-shard_map _fused_decode, each exported for a TPU target
+    over the 8-virtual-device mesh."""
+    from dct_tpu.parallel import mesh as meshlib
+    from dct_tpu.parallel import shard_encode
+
+    results = []
+    cfg = CodecConfig(quality=50, static_tables=True, use_pallas=True)
+    mesh = meshlib.make_mesh()
+    img = jnp.zeros((128, 96), jnp.uint8)
+    results.append(_try_lower(
+        "sharded encode step (shard_map + fused kernel)",
+        lambda im: shard_encode._encode_step_sharded(im, cfg, 16, mesh),
+        img))
+    frames = jnp.zeros((2, 64, 64), jnp.uint8)
+    bstep = shard_encode._batch_step(
+        cfg, 8, meshlib.make_mesh(n_data=2, n_stripe=4)
+    )
+    results.append(_try_lower(
+        "sharded dp x sp batch step", bstep, frames))
+    # sharded decode step: 16 block rows x 12 block cols, one stripe per
+    # block row over the 8-device stripe axis
+    dstep = shard_encode._decode_step_sharded(
+        cfg, mesh, bh_tot=16, bw=12, chroma=False, with_scale=False,
+    )
+    zz = jnp.zeros((16 * 12, 64), jnp.int16)
+    results.append(_try_lower(
+        "sharded decode step (shard_map + decode kernel)", dstep, zz))
+    cfg_a = CodecConfig(quality=50, adaptive=True, use_pallas=True)
+    dstep_a = shard_encode._decode_step_sharded(
+        cfg_a, mesh, bh_tot=16, bw=12, chroma=False, with_scale=True,
+    )
+    scale = jnp.ones((16 * 12,), jnp.float32)
+    results.append(_try_lower(
+        "sharded decode step, adaptive", dstep_a, zz, scale))
+    return results
+
+
 def main() -> int:
     failures = []
     n = 0
@@ -184,7 +229,7 @@ def main() -> int:
                 n += 1
                 if r is not None:
                     failures.append(r)
-    extra = transform_kernel_cases()
+    extra = transform_kernel_cases() + sharded_cases()
     n += len(extra)
     failures += [r for r in extra if r is not None]
     for case, err in failures:

@@ -339,13 +339,9 @@ def _decode_plane_sharded(
     ONE sharded dequant+IDCT dispatch reconstructs pixel rows in place — no
     cross-device traffic at all (8x8 blocks share no pixels, SURVEY.md
     section 5.7)."""
-    from dct_tpu.models.codec import (
-        _decode_stripes, _fused_decode, _padded_grid,
-    )
-    from dct_tpu.ops import blocks as blk
+    from dct_tpu.models.codec import _decode_stripes, _padded_grid
     from dct_tpu.ops import quant
 
-    n = cfg.block_size
     bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
     bps = (bh // n_stripes) * bw
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
@@ -375,15 +371,49 @@ def _decode_plane_sharded(
             jax.device_put(jnp.asarray(codes), NamedSharding(mesh, P(meshlib.STRIPE_AXIS)))
         )
 
-    @functools.partial(jax.jit, static_argnames=())
-    def step(z, s):
-        px = _fused_decode(z, cfg, s, chroma)
-        px = jax.lax.with_sharding_constraint(px, block_sharding)
-        img = blk.blocks_to_image(px, (bh + pad // bw) * n, bw * n, n)
-        return img
-
-    img = step(zz_dev, scale)
+    bh_tot = bh + pad // bw  # padded block rows (divisible by n_dev)
+    step = _decode_step_sharded(cfg, mesh, bh_tot, bw, chroma,
+                                with_scale=scale is not None)
+    img = step(zz_dev, scale) if scale is not None else step(zz_dev)
     return img[: p.height, : p.width]
+
+
+def _decode_step_sharded(
+    cfg: CodecConfig, mesh: Mesh, bh_tot: int, bw: int, chroma: bool,
+    with_scale: bool,
+):
+    """Jitted shard_map'd dequant+IDCT step: (NB, n2) coeffs (stripe-
+    sharded) -> row-sharded u8 image of bh_tot x bw blocks.
+
+    shard_map, not GSPMD sharding constraints: on the TPU backend
+    _fused_decode is a Mosaic kernel, and a Pallas custom call has no
+    GSPMD partitioning rules — the partitioner would replicate it (or
+    reject it), exactly the failure mode the encode side documents.
+    Blocks share no pixels, so each device reconstructs its own block
+    rows and the output is row-sharded with zero collectives. Also
+    exported chiplessly by benchmarks/mosaic_lowering_check.py."""
+    from dct_tpu.models.codec import _fused_decode
+    from dct_tpu.ops import blocks as blk
+
+    n = cfg.block_size
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    in_specs = (P(meshlib.STRIPE_AXIS, None),)
+    if with_scale:
+        in_specs += (P(meshlib.STRIPE_AXIS),)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(meshlib.STRIPE_AXIS, None),
+        check_vma=False,  # Pallas out_shapes carry vma=None (see encode)
+    )
+    def step(z, s=None):
+        px = _fused_decode(z, cfg, s, chroma)
+        return blk.blocks_to_image(px, (bh_tot // n_dev) * n, bw * n, n)
+
+    return step
 
 
 def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:

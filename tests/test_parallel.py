@@ -259,3 +259,35 @@ class TestPallasUnderShardMap:
             shard_encode.encode_batch_step(
                 jnp.asarray(frames), cfg, 6, mesh
             )
+
+    def test_sharded_decode_pallas_roundtrip(self, photo):
+        """Sharded decode now runs _fused_decode inside shard_map (a
+        Mosaic kernel has no GSPMD partitioning rules — the old
+        with_sharding_constraint version was the same latent TPU-only
+        failure class as the encode-side check_vma crash). use_pallas on
+        the CPU mesh traces the interpret kernel under shard_map and the
+        reconstruction must match the single-device decoder exactly."""
+        cfg = CodecConfig(quality=50, static_tables=True, use_pallas=True)
+        mesh = meshlib.make_mesh()
+        blob = shard_encode.encode_image_sharded(photo, cfg, mesh)
+        rec = np.asarray(shard_encode.decode_image_sharded(blob, mesh))
+        want = codec.decode(blob)
+        np.testing.assert_array_equal(rec, np.asarray(want))
+
+    def test_sharded_decode_pallas_adaptive_color(self):
+        """Adaptive (per-block scale through shard_map) + color planes."""
+        cfg = CodecConfig(
+            quality=50, adaptive=True, use_pallas=True, chroma="420",
+        )
+        rng = np.random.default_rng(5)
+        base = image_io.synthetic_image(128, 96, "photo", seed=4)
+        rgb = np.stack(
+            [np.clip(base.astype(np.int32) + d, 0, 255).astype(np.uint8)
+             for d in (-20, 0, 25)], axis=-1,
+        )
+        mesh = meshlib.make_mesh()
+        blob = shard_encode.encode_image_sharded(rgb, cfg, mesh)
+        rec = np.asarray(shard_encode.decode_image_sharded(blob, mesh))
+        from dct_tpu.models import color as _color
+        want = np.asarray(_color.ColorImageCodec(cfg).decode(blob))
+        np.testing.assert_array_equal(rec, want)
