@@ -12,13 +12,16 @@ cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpuq
 
 # 1-core host: timing runs are garbage under contention (CLAUDE.md).
-# If a test suite happens to be running when the tunnel comes back,
-# wait for it to drain before starting the measurements.
+# If a test suite or the invariant soak happens to be running when the
+# tunnel comes back, stop/await them before starting the measurements.
+touch /tmp/stop_fuzz_soak   # fuzz_soak.py polls this and exits cleanly
 for _ in $(seq 1 120); do
-  pgrep -f "python -m pytest" >/dev/null 2>&1 || break
-  echo "$(date +%H:%M:%S) waiting for pytest to finish" >> /tmp/tpuq/queue.log
+  pgrep -f "python -m pytest" >/dev/null 2>&1 \
+    || pgrep -f "fuzz_soak.py" >/dev/null 2>&1 || break
+  echo "$(date +%H:%M:%S) waiting for pytest/soak to finish" >> /tmp/tpuq/queue.log
   sleep 60
 done
+rm -f /tmp/stop_fuzz_soak
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
