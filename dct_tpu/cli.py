@@ -71,7 +71,14 @@ def cmd_encode(args) -> int:
     img = image_io.read_image(args.input)
     cfg = _config_from_args(args, color=img.ndim == 3)
     t0 = time.perf_counter()
-    data = codec.encode(img, cfg)
+    if args.max_bytes is not None:
+        from dct_tpu.models import rate_control
+
+        data, q = rate_control.encode_to_size(img, args.max_bytes, cfg)
+        chosen = f" (rate control: quality {q} for <= {args.max_bytes} B)"
+    else:
+        data = codec.encode(img, cfg)
+        chosen = ""
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)
@@ -80,6 +87,7 @@ def cmd_encode(args) -> int:
         f"{args.input}: {img.shape[1]}x{img.shape[0]}"
         f"{'x3' if img.ndim == 3 else ''} -> {len(data)} bytes "
         f"({metrics.compression_ratio(raw, len(data)):.2f}:1) in {dt*1e3:.1f} ms"
+        f"{chosen}"
     )
     return 0
 
@@ -333,6 +341,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("encode", help="image -> .tpdc")
     p.add_argument("input"); p.add_argument("output")
     _add_codec_args(p)
+    p.add_argument("--max-bytes", type=int, default=None,
+                   help="encode to a byte budget: pick the highest quality "
+                        "whose EXACT container size fits (--quality is "
+                        "ignored; models/rate_control.py)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help=".tpdc -> image")

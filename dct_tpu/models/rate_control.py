@@ -1,0 +1,216 @@
+"""Rate control: encode to a byte budget by probing exact container sizes.
+
+The reference ships an encoded-size ESTIMATOR (entropy.c:430-466, the heap
+walk `huffman_encoded_size` — SURVEY.md section 2.11) but never closes the
+loop into rate control. This module does, the TPU way: a size probe is the
+staged encode pipeline run WITHOUT the bit-pack — device transform + RLE +
+symbol chunk lengths reduced to one int32 per stripe — so probing a
+quality costs one analyze dispatch (+ one chunk-length dispatch for
+dynamic tables) and fetches n_stripes ints instead of a payload. Probe
+sizes are EXACT, not estimates: the chunk-length tensor is the same one
+the packer offsets by (ops/bitstream.symbol_chunks), and the header cost
+comes from serializing an empty-stripe skeleton container, so the
+prediction cannot drift from the wire format (asserted byte-exact against
+real encodes in tests/test_rate_control.py).
+
+`encode_to_size` bisects a quality ladder for the largest quality whose
+exact size fits the budget, then runs ONE real encode at that quality.
+Container size is near-monotone in quality; bisection can in principle
+settle on a smaller-than-optimal feasible quality on adversarial content,
+but the returned container always fits the budget because each probe is
+exact for its own quality.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dct_tpu import container as cont
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec as _codec
+from dct_tpu.ops import bitstream as bs
+from dct_tpu.ops import blocks as blk
+from dct_tpu.ops import huffman as hf
+
+# Quality rungs for encode_to_size: dense where the size/quality curve is
+# steep (high quality), sparse where it is flat.
+DEFAULT_LADDER = (1, 5, 10, 15, 20, 30, 40, 50, 60, 70, 80, 85, 90, 95, 97, 100)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+def _chunk_bits(
+    symbols,
+    cfg: CodecConfig,
+    n_stripes: int,
+    lengths: jax.Array,
+    codes: jax.Array,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
+) -> jax.Array:
+    """Per-stripe payload bit counts: encode_pack minus the pack.
+
+    Reduces the same (B, S, 3) chunk-length tensor the scatter packer
+    consumes (codec.encode_pack), so the result equals the packer's
+    bit_lengths for every mode; the chunk VALUES are dead code under this
+    reduction and XLA eliminates them."""
+    rkw = dict(
+        run_lengths=run_lengths,
+        run_codes=run_codes,
+        run_bits=bs.run_field_bits(cfg.n2),
+    )
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    if mode == "category":
+        _, cl = bs.symbol_chunks(
+            symbols, mode, cat_lengths=lengths, cat_codes=codes, **rkw
+        )
+    elif mode == "direct":
+        _, cl = bs.symbol_chunks(
+            symbols, mode, val_lengths=lengths, val_codes=codes,
+            vmin=_codec.DIRECT_VMIN, **rkw
+        )
+    else:
+        _, cl = bs.symbol_chunks(symbols, mode, **rkw)
+    return cl.reshape(n_stripes, -1).sum(axis=1)
+
+
+def _plane_size(
+    plane: np.ndarray, cfg: CodecConfig, chroma: bool
+) -> tuple[np.ndarray, cont.PlaneData]:
+    """(per-stripe bit counts, empty-stripe PlaneData skeleton) for one
+    plane at cfg.quality. Mirrors codec.encode_plane up to (but not
+    including) the pack stage."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    n = cfg.block_size
+    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
+    ph, pw = bh * n, bw * n
+    if img.shape[0] != ph or img.shape[1] != pw:
+        img = jnp.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+
+    symbols, var_codes, hist, run_hist = _codec.encode_analyze(
+        img, cfg, chroma=chroma
+    )
+    table = _codec._build_table(
+        cfg, None if cfg.static_tables else np.asarray(hist)
+    )
+    run_table = _codec._build_run_table(
+        cfg, None if cfg.static_tables else np.asarray(run_hist)
+    )
+    lengths, codes = _codec._table_arrays(table)
+    if cfg.coded_runs:
+        run_lengths, run_codes = _codec._table_arrays(run_table)
+    else:
+        run_lengths = run_codes = None
+    bits = np.asarray(
+        _chunk_bits(
+            symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        )
+    )
+    skeleton = cont.PlaneData(
+        width=w,
+        height=h,
+        table_lengths=table.lengths if table is not None else None,
+        vmin=_codec.DIRECT_VMIN,
+        variance_codes=np.asarray(var_codes) if cfg.adaptive else None,
+        stripe_bits=np.zeros(n_stripes, np.uint32),
+        stripes=[b""] * n_stripes,
+        run_table_lengths=(
+            run_table.lengths if run_table is not None else None
+        ),
+    )
+    return bits, skeleton
+
+
+def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
+    """EXACT serialized container size in bytes for encoding `image` under
+    `cfg` — without packing or materializing the payload.
+
+    Grayscale (H, W) or RGB (H, W, 3) by array rank (RGB requires a color
+    chroma mode, as codec.encode does)."""
+    if image.ndim == 2:
+        plane_args = [(np.asarray(image, np.uint8), False)]
+        w, h = int(image.shape[1]), int(image.shape[0])
+    else:
+        if cfg.chroma == "gray":
+            raise ValueError("RGB input requires chroma '444' or '420'")
+        from dct_tpu.models import color as _color
+
+        y, cb, cr = _color._to_planes(
+            jnp.asarray(image, jnp.uint8), cfg.chroma
+        )
+        plane_args = [
+            (np.asarray(y), False), (np.asarray(cb), True),
+            (np.asarray(cr), True),
+        ]
+        w, h = int(image.shape[1]), int(image.shape[0])
+
+    payload = 0
+    skeletons = []
+    for plane, chroma in plane_args:
+        bits, skel = _plane_size(plane, cfg, chroma)
+        payload += int(((bits.astype(np.int64) + 7) // 8).sum())
+        skeletons.append(skel)
+    header = len(
+        cont.serialize(
+            cont.Container(config=cfg, width=w, height=h, planes=skeletons)
+        )
+    )
+    return header + payload
+
+
+def encode_to_size(
+    image: np.ndarray,
+    max_bytes: int,
+    config: CodecConfig | None = None,
+    qualities: tuple[int, ...] = DEFAULT_LADDER,
+    strict: bool = True,
+) -> tuple[bytes, int]:
+    """Encode `image` into at most `max_bytes`, choosing the highest
+    quality on the ladder that fits. Returns (container bytes, quality).
+
+    `config` supplies every knob except quality (its quality field is
+    ignored). If even the lowest rung exceeds the budget: raise ValueError
+    when `strict`, else return the lowest-rung encode (over budget, best
+    effort). Probes are exact (see container_size), so the returned
+    container always fits when a fitting rung exists."""
+    if not qualities:
+        raise ValueError("empty quality ladder")
+    base = config or CodecConfig()
+    if image.ndim == 3 and base.chroma == "gray":
+        base = base.replace(chroma="420")
+    ladder = sorted(set(int(q) for q in qualities))
+
+    sizes: dict[int, int] = {}
+
+    def probe(q: int) -> int:
+        if q not in sizes:
+            sizes[q] = container_size(image, base.replace(quality=q))
+        return sizes[q]
+
+    lo, hi = 0, len(ladder) - 1
+    if probe(ladder[lo]) > max_bytes:
+        if strict:
+            raise ValueError(
+                f"quality {ladder[lo]} needs {sizes[ladder[lo]]} bytes > "
+                f"budget {max_bytes}"
+            )
+        best = ladder[lo]
+    elif probe(ladder[hi]) <= max_bytes:
+        best = ladder[hi]
+    else:
+        # invariant: ladder[lo] fits, ladder[hi] does not
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if probe(ladder[mid]) <= max_bytes:
+                lo = mid
+            else:
+                hi = mid
+        best = ladder[lo]
+    data = _codec.encode(image, base.replace(quality=best))
+    return data, best

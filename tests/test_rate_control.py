@@ -1,0 +1,103 @@
+"""Rate control (models/rate_control.py): the size probe must be
+byte-EXACT against real encodes for every entropy mode, and encode_to_size
+must return the highest ladder quality that fits the budget.
+
+The reference's size estimator (entropy.c:430-466) is an estimate used in
+its tests; this closes the loop into actual rate control, so the contract
+here is exactness, not approximation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from dct_tpu.config import CodecConfig
+from dct_tpu.models import codec, rate_control
+from dct_tpu.utils import image_io
+
+
+CONFIGS = [
+    # the probe walks every branch: static/dynamic tables, all three
+    # entropy modes, adaptive, dc_prediction, coded runs, block sizes
+    CodecConfig(quality=50, static_tables=True),
+    CodecConfig(quality=50),
+    CodecConfig(quality=35, huffman_mode="direct"),
+    CodecConfig(quality=50, use_huffman=False, huffman_mode="none"),
+    CodecConfig(quality=50, adaptive=True, dc_prediction=True),
+    CodecConfig(quality=72, coded_runs=True, static_tables=True),
+    CodecConfig(quality=72, coded_runs=True, dc_prediction=True),
+    CodecConfig(quality=50, block_size=4, stripe_rows=2),
+    CodecConfig(quality=50, block_size=16, adaptive=True),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: (
+    f"{c.huffman_mode}-n{c.block_size}"
+    f"{'-static' if c.static_tables else ''}{'-ad' if c.adaptive else ''}"
+    f"{'-dc' if c.dc_prediction else ''}{'-cr' if c.coded_runs else ''}"
+))
+def test_probe_exact_gray(cfg):
+    img = image_io.synthetic_image(72, 96, "photo", seed=7)
+    want = len(codec.encode(img, cfg))
+    assert rate_control.container_size(img, cfg) == want
+
+
+@pytest.mark.parametrize("quality", [1, 30, 90, 100])
+def test_probe_exact_across_qualities(quality):
+    img = image_io.synthetic_image(56, 88, "photo", seed=9)
+    cfg = CodecConfig(quality=quality, adaptive=True)
+    assert rate_control.container_size(img, cfg) == len(codec.encode(img, cfg))
+
+
+@pytest.mark.parametrize("chroma", ["444", "420"])
+def test_probe_exact_color(chroma):
+    g = image_io.synthetic_image(48, 64, "photo", seed=11)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+    cfg = CodecConfig(quality=60, chroma=chroma, coded_runs=True)
+    assert rate_control.container_size(rgb, cfg) == len(codec.encode(rgb, cfg))
+
+
+def test_encode_to_size_picks_highest_fitting_rung():
+    img = image_io.synthetic_image(96, 128, "photo", seed=3)
+    cfg = CodecConfig(static_tables=True)
+    ladder = (10, 30, 50, 70, 90)
+    sizes = {
+        q: len(codec.encode(img, cfg.replace(quality=q))) for q in ladder
+    }
+    assert sizes[10] < sizes[90], "content must exercise a size gradient"
+    budget = (sizes[50] + sizes[70]) // 2  # fits q50, not q70
+    data, q = rate_control.encode_to_size(img, budget, cfg, qualities=ladder)
+    assert q == 50
+    assert len(data) == sizes[50] <= budget
+    rec = codec.decode(data)
+    assert rec.shape == img.shape
+
+
+def test_encode_to_size_budget_respected_everywhere():
+    img = image_io.synthetic_image(64, 80, "photo", seed=5)
+    cfg = CodecConfig(adaptive=True, dc_prediction=True)
+    for budget in (900, 1400, 2200, 10**6):
+        data, q = rate_control.encode_to_size(img, budget, cfg)
+        assert len(data) <= budget, (budget, q, len(data))
+
+
+def test_encode_to_size_strict_raises_and_best_effort_returns():
+    img = image_io.synthetic_image(64, 80, "noise", seed=6)
+    with pytest.raises(ValueError, match="budget"):
+        rate_control.encode_to_size(img, 16, CodecConfig())
+    data, q = rate_control.encode_to_size(
+        img, 16, CodecConfig(), strict=False
+    )
+    assert q == min(rate_control.DEFAULT_LADDER)
+    assert len(data) > 16  # over budget by necessity, but still decodable
+    assert codec.decode(data).shape == img.shape
+
+
+def test_encode_to_size_color():
+    g = image_io.synthetic_image(56, 72, "photo", seed=8)
+    rgb = np.stack([g, np.roll(g, 2, 0), np.roll(g, 4, 1)], -1)
+    mid = len(codec.encode(rgb, CodecConfig(quality=50, chroma="420")))
+    data, q = rate_control.encode_to_size(rgb, mid, CodecConfig(chroma="420"))
+    assert len(data) <= mid
+    assert q >= 50  # the q50 size itself fits, so the pick is at least q50
