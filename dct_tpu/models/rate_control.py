@@ -19,6 +19,14 @@ Container size is near-monotone in quality; bisection can in principle
 settle on a smaller-than-optimal feasible quality on adversarial content,
 but the returned container always fits the budget because each probe is
 exact for its own quality.
+
+Deliberately NOT batched across the ladder: stacking the per-quality
+operators into one vmapped dispatch would re-derive the transform outside
+the canonical per-quality constants (transform.packed_encode_operator_
+split), risking exactly the f32 tie-rounding divergence CLAUDE.md records
+for re-associated contractions — a silently-wrong size on the TPU backend
+is worse than ~4 extra 32 ms dispatches per image. Probes are jit-cached
+per (quality, shape), so repeated calls pay dispatches only.
 """
 
 from __future__ import annotations

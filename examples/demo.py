@@ -104,6 +104,17 @@ def main() -> int:
     recs = VideoCodec(dct_tpu.CodecConfig(quality=70)).decode(streams)
     print(f"video: 4 frames -> {sum(len(s) for s in streams)} B total, "
           f"PSNR {metrics.psnr(frames, recs):5.2f} dB")
+
+    # -- 7. rate control --------------------------------------------------------
+    from dct_tpu.models import rate_control
+
+    budget = 12_000
+    capped, q = rate_control.encode_to_size(
+        gray, budget, dct_tpu.CodecConfig(adaptive=True)
+    )
+    rec = dct_tpu.decode(capped)
+    print(f"rate control: <= {budget} B -> quality {q}, {len(capped)} B, "
+          f"PSNR {metrics.psnr(gray, rec):5.2f} dB")
     return 0
 
 
