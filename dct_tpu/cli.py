@@ -71,11 +71,20 @@ def cmd_encode(args) -> int:
     img = image_io.read_image(args.input)
     cfg = _config_from_args(args, color=img.ndim == 3)
     t0 = time.perf_counter()
+    if args.max_bytes is not None and args.min_psnr is not None:
+        print("encode: --max-bytes and --min-psnr are mutually exclusive",
+              file=sys.stderr)
+        return 2
     if args.max_bytes is not None:
         from dct_tpu.models import rate_control
 
         data, q = rate_control.encode_to_size(img, args.max_bytes, cfg)
         chosen = f" (rate control: quality {q} for <= {args.max_bytes} B)"
+    elif args.min_psnr is not None:
+        from dct_tpu.models import rate_control
+
+        data, q = rate_control.encode_to_psnr(img, args.min_psnr, cfg)
+        chosen = f" (rate control: quality {q} for >= {args.min_psnr} dB)"
     else:
         data = codec.encode(img, cfg)
         chosen = ""
@@ -345,6 +354,10 @@ def main(argv=None) -> int:
                    help="encode to a byte budget: pick the highest quality "
                         "whose EXACT container size fits (--quality is "
                         "ignored; models/rate_control.py)")
+    p.add_argument("--min-psnr", type=float, default=None,
+                   help="encode to a distortion target: pick the lowest "
+                        "quality whose EXACT PSNR meets this many dB "
+                        "(--quality is ignored)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help=".tpdc -> image")

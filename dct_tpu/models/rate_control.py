@@ -172,6 +172,185 @@ def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
     return header + payload
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "chroma", "h", "w"))
+def _plane_sse_chunks(
+    plane_padded: jax.Array, cfg: CodecConfig, chroma: bool, h: int, w: int
+) -> jax.Array:
+    """Exact roundtrip squared error of one padded plane vs its unpadded
+    region, as (h, ceil(w/4096)) int32 column-chunk partial sums.
+
+    Runs the production transform pair — quantize via _fused_encode,
+    reconstruct via _fused_decode, the same ops decode_plane_device uses —
+    so the reconstruction is bit-identical to decoding a real container
+    (the wire carries these exact integers; byte-identity between staged,
+    fused, and packed paths is established by tests/test_fused_encode.py).
+    Chunked int32 keeps the sum exact without x64: each chunk is at most
+    4096 * 255^2 < 2^31; the caller totals chunks in Python ints."""
+    n = cfg.block_size
+    pixels = blk.image_to_blocks(plane_padded, n)
+    scale = None
+    if cfg.adaptive:
+        from dct_tpu.ops import quant, transform
+
+        var = quant.block_variance_flat(transform.level_shift(pixels))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+    zz = _codec._fused_encode(pixels, cfg, scale, chroma)
+    rec = _codec._fused_decode(zz, cfg, scale, chroma)
+    img = blk.blocks_to_image(
+        rec, plane_padded.shape[0], plane_padded.shape[1], n
+    )[:h, :w]
+    d = img.astype(jnp.int32) - plane_padded[:h, :w].astype(jnp.int32)
+    sq = d * d
+    pad_w = -(-w // 4096) * 4096
+    if pad_w != w:
+        sq = jnp.pad(sq, ((0, 0), (0, pad_w - w)))
+    return sq.reshape(h, pad_w // 4096, 4096).sum(axis=2)
+
+
+def _pad_plane(plane: np.ndarray, cfg: CodecConfig) -> jax.Array:
+    """The exact padding encode_plane applies (block grid + stripe grid)."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    bh, bw, _ = _codec._padded_grid(h, w, cfg)
+    n = cfg.block_size
+    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
+    ph, pw = bh * n, bw * n
+    if img.shape[0] != ph or img.shape[1] != pw:
+        img = jnp.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+    return img
+
+
+def roundtrip_sse(image: np.ndarray, cfg: CodecConfig) -> int:
+    """EXACT sum of squared pixel errors of encode->decode under `cfg`,
+    without producing a bitstream. Grayscale (H, W) only; color goes
+    through psnr_at_quality (the RGB reconstruction crosses planes)."""
+    if image.ndim != 2:
+        raise ValueError("roundtrip_sse takes a grayscale (H, W) plane")
+    h, w = int(image.shape[0]), int(image.shape[1])
+    chunks = np.asarray(
+        _plane_sse_chunks(_pad_plane(image, cfg), cfg, False, h, w)
+    )
+    return int(sum(int(x) for x in chunks.ravel()))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "h", "w"))
+def _rgb_sse_chunks(
+    rgb: jax.Array, cfg: CodecConfig, h: int, w: int
+) -> jax.Array:
+    """Exact roundtrip squared error for an RGB image: the full color
+    pipeline (YCbCr split, per-plane quantize/reconstruct with the chroma
+    table and 4:2:0 resampling, RGB reassembly) mirroring
+    ColorImageCodec.decode_to_device, reduced to int32 column chunks."""
+    from dct_tpu.models import color as _color
+
+    planes = _color._to_planes(rgb, cfg.chroma)
+    recs = []
+    for i, plane in enumerate(planes):
+        n = cfg.block_size
+        ph_, pw_ = int(plane.shape[0]), int(plane.shape[1])
+        bh, bw, _ = _codec._padded_grid(ph_, pw_, cfg)
+        p = blk.pad_to_blocks(plane, n)
+        tgt_h, tgt_w = bh * n, bw * n
+        if p.shape[0] != tgt_h or p.shape[1] != tgt_w:
+            p = jnp.pad(
+                p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
+                mode="edge",
+            )
+        chroma = i > 0
+        pixels = blk.image_to_blocks(p, n)
+        scale = None
+        if cfg.adaptive:
+            from dct_tpu.ops import quant, transform
+
+            var = quant.block_variance_flat(transform.level_shift(pixels))
+            scale = quant.scale_from_variance_code(quant.variance_code(var))
+        zz = _codec._fused_encode(pixels, cfg, scale, chroma)
+        rec = _codec._fused_decode(zz, cfg, scale, chroma)
+        recs.append(
+            blk.blocks_to_image(rec, tgt_h, tgt_w, n)[:ph_, :pw_]
+        )
+    out = _color.planes_to_rgb(recs[0], recs[1], recs[2], cfg.chroma, h, w)
+    d = out.astype(jnp.int32) - rgb.astype(jnp.int32)
+    sq = (d * d).sum(axis=2)  # <= 3 * 255^2 per pixel
+    pad_w = -(-w // 1024) * 1024
+    if pad_w != w:
+        sq = jnp.pad(sq, ((0, 0), (0, pad_w - w)))
+    return sq.reshape(h, pad_w // 1024, 1024).sum(axis=2)
+
+
+def psnr_at_quality(image: np.ndarray, cfg: CodecConfig) -> float:
+    """EXACT PSNR (dB) of encoding `image` under `cfg` — identical to
+    metrics.psnr(image, decode(encode(image, cfg))) — without packing or
+    parsing a bitstream. Probes run entirely on device; only int32
+    partial sums are fetched."""
+    h, w = int(image.shape[0]), int(image.shape[1])
+    if image.ndim == 2:
+        sse = roundtrip_sse(image, cfg)
+        n_px = h * w
+    else:
+        if cfg.chroma == "gray":
+            raise ValueError("RGB input requires chroma '444' or '420'")
+        chunks = np.asarray(
+            _rgb_sse_chunks(jnp.asarray(image, jnp.uint8), cfg, h, w)
+        )
+        sse = int(sum(int(x) for x in chunks.ravel()))
+        n_px = h * w * 3
+    if sse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 * n_px / sse))
+
+
+def encode_to_psnr(
+    image: np.ndarray,
+    min_psnr: float,
+    config: CodecConfig | None = None,
+    qualities: tuple[int, ...] = DEFAULT_LADDER,
+    strict: bool = True,
+) -> tuple[bytes, int]:
+    """Encode `image` at the LOWEST ladder quality whose exact PSNR meets
+    `min_psnr` dB (smallest file achieving the distortion target — the
+    quality-targeted dual of encode_to_size). Returns (bytes, quality).
+
+    If even the highest rung misses the target: raise ValueError when
+    `strict`, else return the highest-rung encode (best effort)."""
+    if not qualities:
+        raise ValueError("empty quality ladder")
+    base = config or CodecConfig()
+    if image.ndim == 3 and base.chroma == "gray":
+        base = base.replace(chroma="420")
+    ladder = sorted(set(int(q) for q in qualities))
+
+    psnrs: dict[int, float] = {}
+
+    def probe(q: int) -> float:
+        if q not in psnrs:
+            psnrs[q] = psnr_at_quality(image, base.replace(quality=q))
+        return psnrs[q]
+
+    lo, hi = 0, len(ladder) - 1
+    if probe(ladder[hi]) < min_psnr:
+        if strict:
+            raise ValueError(
+                f"quality {ladder[hi]} reaches only "
+                f"{psnrs[ladder[hi]]:.2f} dB < target {min_psnr}"
+            )
+        best = ladder[hi]
+    elif probe(ladder[lo]) >= min_psnr:
+        best = ladder[lo]
+    else:
+        # invariant: ladder[lo] misses the target, ladder[hi] meets it
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if probe(ladder[mid]) >= min_psnr:
+                hi = mid
+            else:
+                lo = mid
+        best = ladder[hi]
+    data = _codec.encode(image, base.replace(quality=best))
+    return data, best
+
+
 def encode_to_size(
     image: np.ndarray,
     max_bytes: int,

@@ -243,3 +243,37 @@ def test_empty_tpdv_handled(tmp_path, capsys):
     assert '"frames": 0' in capsys.readouterr().out
     with pytest.raises(SystemExit):
         cli.main(["decode-video", str(empty), str(tmp_path / "o.npy")])
+
+
+def test_encode_max_bytes(pgm, capsys):
+    d, p, img = pgm
+    free = d / "free.tpdc"
+    capped = d / "capped.tpdc"
+    assert cli.main(["encode", str(p), str(free), "--quality", "90"]) == 0
+    budget = free.stat().st_size // 2
+    assert cli.main(
+        ["encode", str(p), str(capped), "--max-bytes", str(budget)]
+    ) == 0
+    assert capped.stat().st_size <= budget
+    assert "rate control" in capsys.readouterr().out
+    rec = d / "capped.pgm"
+    assert cli.main(["decode", str(capped), str(rec)]) == 0
+    assert image_io.read_image(str(rec)).shape == img.shape
+
+
+def test_encode_min_psnr(pgm, capsys):
+    d, p, img = pgm
+    out = d / "psnr.tpdc"
+    assert cli.main(
+        ["encode", str(p), str(out), "--min-psnr", "34"]
+    ) == 0
+    assert "rate control" in capsys.readouterr().out
+    rec = d / "psnr.pgm"
+    assert cli.main(["decode", str(out), str(rec)]) == 0
+    got = image_io.read_image(str(rec))
+    import numpy as _np
+    mse = _np.mean((got.astype(float) - img.astype(float)) ** 2)
+    assert 10 * _np.log10(255.0**2 / mse) >= 34
+    assert cli.main(  # mutually exclusive flags must fail loudly
+        ["encode", str(p), str(out), "--min-psnr", "34", "--max-bytes", "99"]
+    ) == 2

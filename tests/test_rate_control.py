@@ -101,3 +101,70 @@ def test_encode_to_size_color():
     data, q = rate_control.encode_to_size(rgb, mid, CodecConfig(chroma="420"))
     assert len(data) <= mid
     assert q >= 50  # the q50 size itself fits, so the pick is at least q50
+
+
+# ---------------------------------------------------------------------------
+# Distortion probes / encode_to_psnr
+# ---------------------------------------------------------------------------
+
+
+def _sse(a: np.ndarray, b: np.ndarray) -> int:
+    return int(((a.astype(np.int64) - b.astype(np.int64)) ** 2).sum())
+
+
+@pytest.mark.parametrize("cfg", [
+    CodecConfig(quality=50, static_tables=True),
+    CodecConfig(quality=35, huffman_mode="direct"),
+    CodecConfig(quality=60, adaptive=True, dc_prediction=True),
+    CodecConfig(quality=72, coded_runs=True),
+    CodecConfig(quality=50, block_size=16, adaptive=True),
+    CodecConfig(quality=50, block_size=4, stripe_rows=2),
+    CodecConfig(quality=50, compat_b1=True),
+], ids=lambda c: (
+    f"{c.huffman_mode}-n{c.block_size}{'-ad' if c.adaptive else ''}"
+    f"{'-dc' if c.dc_prediction else ''}{'-cr' if c.coded_runs else ''}"
+    f"{'-b1' if c.compat_b1 else ''}"
+))
+def test_sse_probe_exact_gray(cfg):
+    """The distortion probe must equal the real encode->decode roundtrip
+    error INTEGER-exactly (same device ops as decode_plane_device)."""
+    img = image_io.synthetic_image(75, 98, "photo", seed=13)  # odd dims
+    rec = codec.decode(codec.encode(img, cfg))
+    assert rate_control.roundtrip_sse(img, cfg) == _sse(rec, img)
+
+
+@pytest.mark.parametrize("chroma", ["444", "420"])
+def test_psnr_probe_exact_color(chroma):
+    g = image_io.synthetic_image(50, 66, "photo", seed=14)
+    rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
+    cfg = CodecConfig(quality=55, chroma=chroma, adaptive=True)
+    rec = codec.decode(codec.encode(rgb, cfg))
+    want_sse = _sse(rec, rgb)
+    want = float(10.0 * np.log10(255.0**2 * rgb.size / want_sse))
+    assert rate_control.psnr_at_quality(rgb, cfg) == want
+
+
+def test_encode_to_psnr_picks_lowest_meeting_rung():
+    img = image_io.synthetic_image(96, 128, "photo", seed=3)
+    cfg = CodecConfig(static_tables=True)
+    ladder = (10, 30, 50, 70, 90)
+    psnrs = {q: rate_control.psnr_at_quality(img, cfg.replace(quality=q))
+             for q in ladder}
+    assert psnrs[10] < psnrs[90], "content must exercise a PSNR gradient"
+    target = (psnrs[50] + psnrs[70]) / 2  # met by q70, not by q50
+    data, q = rate_control.encode_to_psnr(img, target, cfg, qualities=ladder)
+    assert q == 70
+    rec = codec.decode(data)
+    got = float(10.0 * np.log10(255.0**2 * img.size / _sse(rec, img)))
+    assert got >= target
+
+
+def test_encode_to_psnr_strict_and_best_effort():
+    img = image_io.synthetic_image(64, 80, "noise", seed=6)  # hard content
+    with pytest.raises(ValueError, match="target"):
+        rate_control.encode_to_psnr(img, 200.0, CodecConfig())
+    data, q = rate_control.encode_to_psnr(
+        img, 200.0, CodecConfig(), strict=False
+    )
+    assert q == max(rate_control.DEFAULT_LADDER)
+    assert codec.decode(data).shape == img.shape
