@@ -110,6 +110,21 @@ def check_gray(img: np.ndarray, cfg: CodecConfig, rng) -> None:
     err = np.abs(rec.astype(int) - img.astype(int)).mean()
     assert err < 80, f"mean abs err {err}"
 
+    # rate-control probe contracts (models/rate_control.py): the size
+    # probe must equal the real container byte-exactly and the distortion
+    # probe must equal the real roundtrip SSE integer-exactly, for EVERY
+    # config the codec accepts
+    if int(rng.integers(0, 2)):
+        from dct_tpu.models import rate_control
+
+        got = rate_control.container_size(img, cfg)
+        assert got == len(data), f"size probe {got} != {len(data)}"
+        want_sse = int(
+            ((rec.astype(np.int64) - img.astype(np.int64)) ** 2).sum()
+        )
+        got_sse = rate_control.roundtrip_sse(img, cfg)
+        assert got_sse == want_sse, f"SSE probe {got_sse} != {want_sse}"
+
     # native vs Python entropy decoders, coefficient-exact
     if native.available():
         parsed = cont.deserialize(data)
