@@ -315,7 +315,20 @@ def cmd_encode_video(args) -> int:
     color = frames.ndim == 4
     cfg = _config_from_args(args, color=color)
     t0 = time.perf_counter()
-    streams = VideoCodec(cfg, chunk_frames=args.chunk_frames).encode(frames)
+    chosen = ""
+    if args.max_total_bytes is not None:
+        from dct_tpu.models import rate_control
+
+        # budget the per-frame containers; the .tpdv wrapper adds a known
+        # 8 + 4F bytes on top (container.serialize_streams)
+        wrapper = 8 + 4 * frames.shape[0]
+        streams, q = rate_control.encode_video_to_size(
+            frames, args.max_total_bytes - wrapper, cfg,
+            chunk_frames=args.chunk_frames,
+        )
+        chosen = f" (rate control: quality {q})"
+    else:
+        streams = VideoCodec(cfg, chunk_frames=args.chunk_frames).encode(frames)
     dt = time.perf_counter() - t0
     data = cont.serialize_streams(streams)
     with open(args.output, "wb") as f:
@@ -323,7 +336,7 @@ def cmd_encode_video(args) -> int:
     print(
         f"{args.input}: {frames.shape[0]} frames -> {len(data)} bytes "
         f"({metrics.compression_ratio(frames.size, len(data)):.2f}:1) "
-        f"in {dt*1e3:.1f} ms"
+        f"in {dt*1e3:.1f} ms{chosen}"
     )
     return 0
 
@@ -393,6 +406,10 @@ def main(argv=None) -> int:
                    help="frames per device dispatch (default: auto "
                         "from the 128 Mpix memory budget)")
     _add_codec_args(p)
+    p.add_argument("--max-total-bytes", type=int, default=None,
+                   help="encode the whole .tpdv to a byte budget: one "
+                        "shared quality, exact size probes (--quality "
+                        "is ignored)")
     p.set_defaults(fn=cmd_encode_video)
 
     p = sub.add_parser("decode-video", help=".tpdv -> u8 .npy frame stack")

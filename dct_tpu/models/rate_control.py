@@ -172,6 +172,207 @@ def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
     return header + payload
 
 
+# ---------------------------------------------------------------------------
+# Video (batched frame stacks, models/video.py)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+def _chunk_bits_batch(
+    symbols, cfg, n_stripes, lengths, codes, run_lengths=None, run_codes=None
+):
+    return jax.vmap(
+        lambda s: _chunk_bits(
+            s, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        )
+    )(symbols)
+
+
+def _plane_batch_bits(
+    planes: np.ndarray,
+    cfg: CodecConfig,
+    chroma: bool,
+    chunk_frames: int | None,
+) -> tuple[np.ndarray, cont.PlaneData]:
+    """((F, n_stripes) per-stripe bit counts, skeleton PlaneData) for a
+    frame-stack plane batch at cfg.quality. Mirrors
+    video._encode_plane_batch (batch-GLOBAL dynamic tables, chunked
+    dispatches) up to but not including the pack, so the counts equal the
+    packer's bit_lengths for every frame. The skeleton's serialized size
+    is identical for every frame of the batch (tables are shared; the
+    adaptive variance-code field has fixed length)."""
+    from dct_tpu.models import video as _video
+
+    f, h, w = (int(x) for x in planes.shape)
+    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+    n = cfg.block_size
+    ph, pw = bh * n, bw * n
+    if chunk_frames is None:
+        chunk_frames = max(1, _video.CHUNK_PIXEL_BUDGET // (h * w))
+    chunk = max(1, min(int(chunk_frames), f))
+
+    def prep(sub):
+        imgs = blk.pad_to_blocks(jnp.asarray(sub, jnp.uint8), n)
+        return jnp.pad(
+            imgs,
+            ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
+            mode="edge",
+        )
+
+    symbols_chunks = []
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
+    else:
+        hist = run_hist = None
+        for i0 in range(0, f, chunk):
+            sym, _, h_, rh_ = _video._analyze_batch(
+                prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
+            )
+            symbols_chunks.append(sym)  # reused below: probes are 1-pass
+            hist = np.asarray(h_, np.int64) + (0 if hist is None else hist)
+            run_hist = (
+                np.asarray(rh_, np.int64)
+                + (0 if run_hist is None else run_hist)
+            )
+        table = _codec._build_table(cfg, hist)
+        run_table = _codec._build_run_table(cfg, run_hist)
+    lengths, codes = _codec._table_arrays(table)
+    if cfg.coded_runs:
+        run_lengths, run_codes = _codec._table_arrays(run_table)
+    else:
+        run_lengths = run_codes = None
+
+    bits = []
+    for ci, i0 in enumerate(range(0, f, chunk)):
+        if symbols_chunks:
+            sym = symbols_chunks[ci]
+        else:
+            sym, _, _, _ = _video._analyze_batch(
+                prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
+            )
+        bits.append(np.asarray(_chunk_bits_batch(
+            sym, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+        )))
+    skeleton = cont.PlaneData(
+        width=w,
+        height=h,
+        table_lengths=table.lengths if table is not None else None,
+        vmin=_codec.DIRECT_VMIN,
+        variance_codes=(
+            np.zeros(bh * bw, np.uint8) if cfg.adaptive else None
+        ),
+        stripe_bits=np.zeros(n_stripes, np.uint32),
+        stripes=[b""] * n_stripes,
+        run_table_lengths=(
+            run_table.lengths if run_table is not None else None
+        ),
+    )
+    return np.concatenate(bits, axis=0), skeleton
+
+
+def video_container_sizes(
+    frames: np.ndarray,
+    cfg: CodecConfig,
+    chunk_frames: int | None = None,
+) -> np.ndarray:
+    """EXACT per-frame container sizes (bytes) for VideoCodec(cfg).encode
+    (frames), without packing: (F,) int64. Remember that the batch shares
+    ONE table per plane type, so these differ from per-image
+    container_size whenever tables are dynamic."""
+    if cfg.chroma == "gray":
+        if frames.ndim != 3:
+            raise ValueError(f"expected (F, H, W), got {frames.shape}")
+        plane_batches = [(np.asarray(frames, np.uint8), False)]
+        f, h, w = (int(x) for x in frames.shape)
+    else:
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected (F, H, W, 3) RGB for chroma={cfg.chroma}, "
+                f"got {frames.shape}"
+            )
+        from dct_tpu.models import color as _color
+
+        f, h, w = (int(x) for x in frames.shape[:3])
+        planes = jax.vmap(lambda im: _color._to_planes(im, cfg.chroma))(
+            jnp.asarray(frames, jnp.uint8)
+        )
+        plane_batches = [
+            (np.asarray(planes[0]), False), (np.asarray(planes[1]), True),
+            (np.asarray(planes[2]), True),
+        ]
+
+    per_frame = np.zeros(f, np.int64)
+    skeletons = []
+    for batch, chroma in plane_batches:
+        bits, skel = _plane_batch_bits(batch, cfg, chroma, chunk_frames)
+        per_frame += ((bits.astype(np.int64) + 7) // 8).sum(axis=1)
+        skeletons.append(skel)
+    header = len(cont.serialize(
+        cont.Container(config=cfg, width=w, height=h, planes=skeletons)
+    ))
+    return per_frame + header
+
+
+def encode_video_to_size(
+    frames: np.ndarray,
+    total_bytes: int,
+    config: CodecConfig | None = None,
+    qualities: tuple[int, ...] = DEFAULT_LADDER,
+    strict: bool = True,
+    chunk_frames: int | None = None,
+) -> tuple[list[bytes], int]:
+    """Encode a frame stack into at most `total_bytes` across all per-frame
+    containers, at one shared quality (the batch analog of encode_to_size;
+    per-frame streams stay individually decodable). Returns
+    (streams, quality)."""
+    if not qualities:
+        raise ValueError("empty quality ladder")
+    base = config or CodecConfig()
+    if frames.ndim == 4 and base.chroma == "gray":
+        base = base.replace(chroma="420")
+    ladder = sorted(set(int(q) for q in qualities))
+
+    totals: dict[int, int] = {}
+
+    def probe(q: int) -> int:
+        if q not in totals:
+            totals[q] = int(video_container_sizes(
+                frames, base.replace(quality=q), chunk_frames
+            ).sum())
+        return totals[q]
+
+    lo, hi = 0, len(ladder) - 1
+    if probe(ladder[lo]) > total_bytes:
+        if strict:
+            raise ValueError(
+                f"quality {ladder[lo]} needs {totals[ladder[lo]]} bytes > "
+                f"budget {total_bytes}"
+            )
+        best = ladder[lo]
+    elif probe(ladder[hi]) <= total_bytes:
+        best = ladder[hi]
+    else:
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if probe(ladder[mid]) <= total_bytes:
+                lo = mid
+            else:
+                hi = mid
+        best = ladder[lo]
+    from dct_tpu.models.video import VideoCodec
+
+    streams = VideoCodec(
+        base.replace(quality=best), chunk_frames=chunk_frames
+    ).encode(frames)
+    return streams, best
+
+
+# ---------------------------------------------------------------------------
+# Distortion probes (exact PSNR without a bitstream)
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chroma", "h", "w"))
 def _plane_sse_chunks(
     plane_padded: jax.Array, cfg: CodecConfig, chroma: bool, h: int, w: int

@@ -277,3 +277,24 @@ def test_encode_min_psnr(pgm, capsys):
     assert cli.main(  # mutually exclusive flags must fail loudly
         ["encode", str(p), str(out), "--min-psnr", "34", "--max-bytes", "99"]
     ) == 2
+
+
+def test_encode_video_max_total_bytes(tmp_path, capsys):
+    frames = np.stack([
+        image_io.synthetic_image(48, 64, "photo", seed=s) for s in range(3)
+    ])
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    free = tmp_path / "free.tpdv"
+    assert cli.main(["encode-video", str(src), str(free)]) == 0
+    budget = int(free.stat().st_size * 0.7)
+    capped = tmp_path / "capped.tpdv"
+    assert cli.main([
+        "encode-video", str(src), str(capped),
+        "--max-total-bytes", str(budget),
+    ]) == 0
+    assert capped.stat().st_size <= budget
+    assert "rate control" in capsys.readouterr().out
+    rec = tmp_path / "rec.npy"
+    assert cli.main(["decode-video", str(capped), str(rec)]) == 0
+    assert np.load(rec).shape == frames.shape

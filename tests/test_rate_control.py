@@ -168,3 +168,69 @@ def test_encode_to_psnr_strict_and_best_effort():
     )
     assert q == max(rate_control.DEFAULT_LADDER)
     assert codec.decode(data).shape == img.shape
+
+
+# ---------------------------------------------------------------------------
+# Video (batch-global tables)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("cfg", [
+    CodecConfig(quality=60, static_tables=True),
+    CodecConfig(quality=60, adaptive=True, dc_prediction=True),
+    CodecConfig(quality=60, coded_runs=True),
+], ids=["static", "dyn-ad-dc", "dyn-cr"])
+def test_video_sizes_exact(cfg):
+    from dct_tpu.models.video import VideoCodec
+
+    frames = np.stack([
+        image_io.synthetic_image(40, 56, "photo", seed=s) for s in range(5)
+    ])
+    want = [len(s) for s in VideoCodec(cfg).encode(frames)]
+    got = rate_control.video_container_sizes(frames, cfg)
+    assert got.tolist() == want
+
+
+def test_video_sizes_exact_chunked():
+    """Chunked probing (2 frames/dispatch) must match the chunked encoder
+    byte-exactly — batch-global tables from per-chunk histogram sums."""
+    from dct_tpu.models.video import VideoCodec
+
+    cfg = CodecConfig(quality=45)
+    frames = np.stack([
+        image_io.synthetic_image(40, 56, "photo", seed=s) for s in range(5)
+    ])
+    want = [len(s) for s in VideoCodec(cfg, chunk_frames=2).encode(frames)]
+    got = rate_control.video_container_sizes(frames, cfg, chunk_frames=2)
+    assert got.tolist() == want
+
+
+def test_video_sizes_exact_color():
+    from dct_tpu.models.video import VideoCodec
+
+    g = np.stack([
+        image_io.synthetic_image(32, 48, "photo", seed=s) for s in range(3)
+    ])
+    frames = np.stack([g, np.roll(g, 2, 1), np.roll(g, 3, 2)], -1)
+    cfg = CodecConfig(quality=55, chroma="420")
+    want = [len(s) for s in VideoCodec(cfg).encode(frames)]
+    got = rate_control.video_container_sizes(frames, cfg)
+    assert got.tolist() == want
+
+
+def test_encode_video_to_size():
+    from dct_tpu.models import codec as _codec
+
+    frames = np.stack([
+        image_io.synthetic_image(48, 64, "photo", seed=s) for s in range(4)
+    ])
+    cfg = CodecConfig(static_tables=True)
+    free = sum(
+        rate_control.video_container_sizes(frames, cfg.replace(quality=90))
+    )
+    budget = int(free * 0.6)
+    streams, q = rate_control.encode_video_to_size(frames, budget, cfg)
+    assert sum(len(s) for s in streams) <= budget
+    assert q < 90
+    for s, f in zip(streams, frames):
+        assert _codec.decode(s).shape == f.shape
