@@ -149,6 +149,13 @@ def check_gray(img: np.ndarray, cfg: CodecConfig, rng) -> None:
             "native decoder != Python decoder"
         )
 
+    # random-access region decode == the same rows of a full decode
+    if img.shape[0] >= 2 and int(rng.integers(0, 3)) == 0:
+        r0 = int(rng.integers(0, img.shape[0] - 1))
+        r1 = int(rng.integers(r0 + 1, img.shape[0] + 1))
+        band = recovery.decode_region(data, r0, r1)
+        assert np.array_equal(band, rec[r0:r1]), "region decode mismatch"
+
     # repair byte-identity after stripe corruption. A flip can land in a
     # stripe's byte-padding bits (invisible to the decoder) or mutate a
     # code into another same-length valid code (undetectable by the
@@ -175,6 +182,28 @@ def check_sharded(img: np.ndarray, cfg: CodecConfig, rng) -> None:
     )
     sharded = shard_encode.encode_image_sharded(img, cfg, mesh)
     assert sharded == single, f"sharded != single on {n_dev} devices"
+
+
+def check_video(imgs: np.ndarray, cfg: CodecConfig, rng) -> None:
+    from dct_tpu.models import rate_control
+    from dct_tpu.models.video import VideoCodec
+
+    chunk = int(rng.choice([1, 2, 0])) or None  # 0 -> auto
+    vc = VideoCodec(cfg, chunk_frames=chunk)
+    streams = vc.encode(imgs)
+    assert len(streams) == imgs.shape[0]
+    # chunking invariance: bytes must not depend on frames-per-dispatch
+    if chunk != 1:
+        assert VideoCodec(cfg, chunk_frames=1).encode(imgs) == streams, (
+            "video bytes depend on chunking"
+        )
+    # batch size probe must be byte-exact per frame
+    got = rate_control.video_container_sizes(imgs, cfg, chunk_frames=chunk)
+    assert got.tolist() == [len(s) for s in streams], "video size probe"
+    recs = vc.decode(streams)
+    assert recs.shape == imgs.shape
+    err = np.abs(recs.astype(int) - imgs.astype(int)).mean()
+    assert err < 80, f"video mean abs err {err}"
 
 
 def check_color(img: np.ndarray, cfg: CodecConfig, rng) -> None:
@@ -208,14 +237,22 @@ def one_iteration(seed: int) -> tuple[str, dict]:
             "stripe_rows": cfg.stripe_rows,
         },
     }
-    if what < 6:
+    if what < 5:
         desc["op"] = "gray"
         img = image_io.synthetic_image(h, w, kind, seed=seed)
         check_gray(img, cfg, rng)
-    elif what < 8:
+    elif what < 7:
         desc["op"] = "sharded"
         img = image_io.synthetic_image(h, w, kind, seed=seed)
         check_sharded(img, cfg, rng)
+    elif what < 8:
+        desc["op"] = "video"
+        nf = int(rng.integers(2, 5))
+        imgs = np.stack([
+            image_io.synthetic_image(h, w, kind, seed=seed + i)
+            for i in range(nf)
+        ])
+        check_video(imgs, cfg, rng)
     else:
         chroma = str(rng.choice(["444", "420"]))
         desc["op"] = f"color-{chroma}"
