@@ -50,4 +50,8 @@ run int8 1800 python benchmarks/int8_experiment.py --tpu
 #    (the unbacked-comment measurements, VERDICT r2 weak #7).
 run dynamic_cost 1800 python benchmarks/dynamic_cost.py
 
+# 6. Rate-control exactness on hardware (probes through the Mosaic
+#    kernels; CPU exactness is already test-asserted).
+run rate_control 1200 python benchmarks/rc_tpu_check.py
+
 echo "queue done $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log
