@@ -19,6 +19,8 @@ __all__ = [
     "tables",
     "encode",
     "decode",
+    "encode_to_size",
+    "encode_to_psnr",
     "__version__",
 ]
 
@@ -39,3 +41,19 @@ def decode(data: bytes):
     from dct_tpu.models import codec
 
     return codec.decode(data)
+
+
+def encode_to_size(image, max_bytes: int, config: CodecConfig | None = None):
+    """Encode to a byte budget (exact size probes): (bytes, quality).
+    Full API: dct_tpu.models.rate_control."""
+    from dct_tpu.models import rate_control
+
+    return rate_control.encode_to_size(image, max_bytes, config)
+
+
+def encode_to_psnr(image, min_psnr: float, config: CodecConfig | None = None):
+    """Encode to a distortion target (exact PSNR probes): (bytes, quality).
+    Full API: dct_tpu.models.rate_control."""
+    from dct_tpu.models import rate_control
+
+    return rate_control.encode_to_psnr(image, min_psnr, config)
