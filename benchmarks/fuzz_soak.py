@@ -17,8 +17,14 @@ lattices — and checks the invariants the test suite asserts pointwise:
 
 Failures are appended to --log as one-line JSON repros (seed + config +
 dims + failing invariant) and the soak continues. Intended to run for
-hours on an otherwise idle host: `python benchmarks/fuzz_soak.py
---minutes 120`. Exit code is the failure count (0 = clean soak).
+hours on an otherwise idle host. Exit code is the failure count (0 =
+clean soak).
+
+Run LONG soaks as a loop of fresh 15-minute processes, not one long
+--minutes: the XLA CPU jit cache never evicts, and every iteration
+compiles new shapes — after ~70 min (~330 iterations) the process hits
+the default vm.max_map_count (65530 mmap regions) and LLVM aborts with
+"Cannot allocate memory" regardless of free RAM.
 """
 
 from __future__ import annotations
