@@ -234,3 +234,40 @@ def test_encode_video_to_size():
     assert q < 90
     for s, f in zip(streams, frames):
         assert _codec.decode(s).shape == f.shape
+
+
+# ---------------------------------------------------------------------------
+# Edge cases
+# ---------------------------------------------------------------------------
+
+
+def test_probe_exact_1x1_image():
+    img = np.full((1, 1), 137, np.uint8)
+    for cfg in (CodecConfig(quality=50), CodecConfig(quality=50, adaptive=True)):
+        assert rate_control.container_size(img, cfg) == len(
+            codec.encode(img, cfg)
+        )
+        rec = codec.decode(codec.encode(img, cfg))
+        assert rate_control.roundtrip_sse(img, cfg) == _sse(rec, img)
+
+
+def test_single_rung_ladder():
+    img = image_io.synthetic_image(24, 32, "photo", seed=1)
+    data, q = rate_control.encode_to_size(
+        img, 10**6, CodecConfig(), qualities=(42,)
+    )
+    assert q == 42 and len(data) <= 10**6
+
+
+def test_q100_lossless_psnr_is_inf():
+    """quality 100 round-trips bit-exactly (BASELINE.md integer-domain
+    contract), so the exact PSNR probe must report infinity and
+    encode_to_psnr must be able to meet any finite target with it."""
+    img = image_io.synthetic_image(16, 24, "flat", seed=0)
+    cfg = CodecConfig(quality=100)
+    if rate_control.roundtrip_sse(img, cfg) == 0:
+        assert rate_control.psnr_at_quality(img, cfg) == float("inf")
+        _, q = rate_control.encode_to_psnr(
+            img, 80.0, CodecConfig(), qualities=(50, 100)
+        )
+        assert q in (50, 100)
