@@ -1,4 +1,5 @@
-"""Rate control: encode to a byte budget by probing exact container sizes.
+"""Rate-distortion control: encode to a byte budget or a PSNR target by
+probing EXACT container sizes / distortions on device.
 
 The reference ships an encoded-size ESTIMATOR (entropy.c:430-466, the heap
 walk `huffman_encoded_size` — SURVEY.md section 2.11) but never closes the
@@ -11,14 +12,16 @@ sizes are EXACT, not estimates: the chunk-length tensor is the same one
 the packer offsets by (ops/bitstream.symbol_chunks), and the header cost
 comes from serializing an empty-stripe skeleton container, so the
 prediction cannot drift from the wire format (asserted byte-exact against
-real encodes in tests/test_rate_control.py).
+real encodes in tests/test_rate_control.py). Distortion probes run the
+production quantize/reconstruct pair and are integer-exact against a real
+encode+decode roundtrip.
 
-`encode_to_size` bisects a quality ladder for the largest quality whose
-exact size fits the budget, then runs ONE real encode at that quality.
-Container size is near-monotone in quality; bisection can in principle
-settle on a smaller-than-optimal feasible quality on adversarial content,
-but the returned container always fits the budget because each probe is
-exact for its own quality.
+`encode_to_size` / `encode_to_psnr` / `encode_video_to_size` bisect a
+quality ladder for the best rung, then run ONE real encode. Size and PSNR
+are near-monotone in quality; bisection can in principle settle on a
+suboptimal feasible rung on adversarial content, but the returned encode
+always satisfies the constraint because each probe is exact for its own
+quality.
 
 Deliberately NOT batched across the ladder: stacking the per-quality
 operators into one vmapped dispatch would re-derive the transform outside
@@ -32,6 +35,7 @@ per (quality, shape), so repeated calls pay dispatches only.
 from __future__ import annotations
 
 import functools
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -42,11 +46,80 @@ from dct_tpu.config import CodecConfig
 from dct_tpu.models import codec as _codec
 from dct_tpu.ops import bitstream as bs
 from dct_tpu.ops import blocks as blk
-from dct_tpu.ops import huffman as hf
 
-# Quality rungs for encode_to_size: dense where the size/quality curve is
-# steep (high quality), sparse where it is flat.
+# Quality rungs for the encode_to_* ladders: dense where the size/quality
+# curve is steep (high quality), sparse where it is flat.
 DEFAULT_LADDER = (1, 5, 10, 15, 20, 30, 40, 50, 60, 70, 80, 85, 90, 95, 97, 100)
+
+
+def _normalize_chroma(ndim: int, cfg: CodecConfig) -> CodecConfig:
+    """Apply codec.encode's rank-based chroma rules up front: RGB input
+    with chroma='gray' switches to '420' (codec.py encode()); grayscale
+    input with a color chroma is rejected HERE, before any probe work,
+    with the same meaning as ImageCodec's own rejection."""
+    if ndim == 3:
+        return cfg.replace(chroma="420") if cfg.chroma == "gray" else cfg
+    if cfg.chroma != "gray":
+        raise ValueError(
+            "grayscale (H, W) input requires chroma='gray' "
+            f"(config has {cfg.chroma!r})"
+        )
+    return cfg
+
+
+def _pad_plane(plane, cfg: CodecConfig) -> jax.Array:
+    """The exact padding encode_plane applies (block grid + stripe grid).
+    Accepts host arrays or traced values (shapes are static under jit)."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    bh, bw, _ = _codec._padded_grid(h, w, cfg)
+    n = cfg.block_size
+    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
+    ph, pw = bh * n, bw * n
+    if img.shape[0] != ph or img.shape[1] != pw:
+        img = jnp.pad(
+            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+        )
+    return img
+
+
+def _ladder_bisect(
+    ladder: list[int],
+    meets: Callable[[int], bool],
+    strict: bool,
+    fail_msg: Callable[[int], str],
+) -> int:
+    """Largest ladder value satisfying `meets`, assuming `meets` is
+    (near-)monotone true -> false along the ladder. If even ladder[0]
+    fails: raise ValueError(fail_msg) when strict, else return ladder[0]
+    (best effort). Shared by all three encode_to_* fronts — the PSNR
+    front passes a descending ladder so 'largest satisfying index' means
+    'lowest satisfying quality'."""
+    lo, hi = 0, len(ladder) - 1
+    if not meets(ladder[lo]):
+        if strict:
+            raise ValueError(fail_msg(ladder[lo]))
+        return ladder[lo]
+    if meets(ladder[hi]):
+        return ladder[hi]
+    # invariant: ladder[lo] satisfies, ladder[hi] does not
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if meets(ladder[mid]):
+            lo = mid
+        else:
+            hi = mid
+    return ladder[lo]
+
+
+def _clean_ladder(qualities) -> list[int]:
+    if not qualities:
+        raise ValueError("empty quality ladder")
+    return sorted(set(int(q) for q in qualities))
+
+
+# ---------------------------------------------------------------------------
+# Size probes (exact container bytes without packing)
+# ---------------------------------------------------------------------------
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
@@ -92,14 +165,8 @@ def _plane_size(
     plane at cfg.quality. Mirrors codec.encode_plane up to (but not
     including) the pack stage."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
-    n = cfg.block_size
-    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
-    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
-    ph, pw = bh * n, bw * n
-    if img.shape[0] != ph or img.shape[1] != pw:
-        img = jnp.pad(
-            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
-        )
+    _, _, n_stripes = _codec._padded_grid(h, w, cfg)
+    img = _pad_plane(plane, cfg)
 
     symbols, var_codes, hist, run_hist = _codec.encode_analyze(
         img, cfg, chroma=chroma
@@ -139,14 +206,12 @@ def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
     """EXACT serialized container size in bytes for encoding `image` under
     `cfg` — without packing or materializing the payload.
 
-    Grayscale (H, W) or RGB (H, W, 3) by array rank (RGB requires a color
-    chroma mode, as codec.encode does)."""
+    Grayscale (H, W) or RGB (H, W, 3) by array rank, with codec.encode's
+    chroma normalization (RGB + chroma='gray' switches to '420')."""
+    cfg = _normalize_chroma(image.ndim, cfg)
     if image.ndim == 2:
         plane_args = [(np.asarray(image, np.uint8), False)]
-        w, h = int(image.shape[1]), int(image.shape[0])
     else:
-        if cfg.chroma == "gray":
-            raise ValueError("RGB input requires chroma '444' or '420'")
         from dct_tpu.models import color as _color
 
         y, cb, cr = _color._to_planes(
@@ -156,7 +221,7 @@ def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
             (np.asarray(y), False), (np.asarray(cb), True),
             (np.asarray(cr), True),
         ]
-        w, h = int(image.shape[1]), int(image.shape[0])
+    w, h = int(image.shape[1]), int(image.shape[0])
 
     payload = 0
     skeletons = []
@@ -200,7 +265,12 @@ def _plane_batch_bits(
     dispatches) up to but not including the pack, so the counts equal the
     packer's bit_lengths for every frame. The skeleton's serialized size
     is identical for every frame of the batch (tables are shared; the
-    adaptive variance-code field has fixed length)."""
+    adaptive variance-code field has fixed length).
+
+    Like the encoder's pass 1, symbols are DROPPED per chunk when the
+    stack spans multiple chunks (retaining them would unbound the device
+    memory CHUNK_PIXEL_BUDGET exists to bound) and pass 2 re-analyzes;
+    a single-chunk stack analyzes once."""
     from dct_tpu.models import video as _video
 
     f, h, w = (int(x) for x in planes.shape)
@@ -219,17 +289,22 @@ def _plane_batch_bits(
             mode="edge",
         )
 
-    symbols_chunks = []
+    symbols_once = None
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
         run_table = _codec._build_run_table(cfg, None)
+    elif f <= chunk:
+        symbols_once, _, hist, run_hist = _video._analyze_batch(
+            prep(planes), cfg, chroma=chroma
+        )
+        table = _codec._build_table(cfg, np.asarray(hist))
+        run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
     else:
         hist = run_hist = None
         for i0 in range(0, f, chunk):
-            sym, _, h_, rh_ = _video._analyze_batch(
+            _, _, h_, rh_ = _video._analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
             )
-            symbols_chunks.append(sym)  # reused below: probes are 1-pass
             hist = np.asarray(h_, np.int64) + (0 if hist is None else hist)
             run_hist = (
                 np.asarray(rh_, np.int64)
@@ -244,9 +319,9 @@ def _plane_batch_bits(
         run_lengths = run_codes = None
 
     bits = []
-    for ci, i0 in enumerate(range(0, f, chunk)):
-        if symbols_chunks:
-            sym = symbols_chunks[ci]
+    for i0 in range(0, f, chunk):
+        if symbols_once is not None:
+            sym = symbols_once
         else:
             sym, _, _, _ = _video._analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
@@ -271,37 +346,47 @@ def _plane_batch_bits(
     return np.concatenate(bits, axis=0), skeleton
 
 
-def video_container_sizes(
-    frames: np.ndarray,
-    cfg: CodecConfig,
-    chunk_frames: int | None = None,
-) -> np.ndarray:
-    """EXACT per-frame container sizes (bytes) for VideoCodec(cfg).encode
-    (frames), without packing: (F,) int64. Remember that the batch shares
-    ONE table per plane type, so these differ from per-image
-    container_size whenever tables are dynamic."""
+def _video_plane_batches(
+    frames: np.ndarray, cfg: CodecConfig, chunk_frames: int | None
+) -> list[tuple[np.ndarray, bool]]:
+    """Frame stack -> [(plane batch, is_chroma)], with the RGB->YCbCr
+    conversion CHUNKED exactly like VideoCodec.encode (the f32
+    intermediates of a whole long stack would dwarf the u8 planes they
+    produce — video.py). Quality-independent, so encode_video_to_size
+    hoists this out of the per-rung probe loop."""
     if cfg.chroma == "gray":
         if frames.ndim != 3:
             raise ValueError(f"expected (F, H, W), got {frames.shape}")
-        plane_batches = [(np.asarray(frames, np.uint8), False)]
-        f, h, w = (int(x) for x in frames.shape)
-    else:
-        if frames.ndim != 4 or frames.shape[-1] != 3:
-            raise ValueError(
-                f"expected (F, H, W, 3) RGB for chroma={cfg.chroma}, "
-                f"got {frames.shape}"
-            )
-        from dct_tpu.models import color as _color
-
-        f, h, w = (int(x) for x in frames.shape[:3])
-        planes = jax.vmap(lambda im: _color._to_planes(im, cfg.chroma))(
-            jnp.asarray(frames, jnp.uint8)
+        return [(np.asarray(frames, np.uint8), False)]
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(
+            f"expected (F, H, W, 3) RGB for chroma={cfg.chroma}, "
+            f"got {frames.shape}"
         )
-        plane_batches = [
-            (np.asarray(planes[0]), False), (np.asarray(planes[1]), True),
-            (np.asarray(planes[2]), True),
-        ]
+    from dct_tpu.models import color as _color
+    from dct_tpu.models import video as _video
 
+    f, h, w = (int(x) for x in frames.shape[:3])
+    cc = chunk_frames or max(1, _video.CHUNK_PIXEL_BUDGET // (h * w))
+    parts = [[], [], []]
+    for i0 in range(0, f, cc):
+        planes = jax.vmap(lambda im: _color._to_planes(im, cfg.chroma))(
+            jnp.asarray(frames[i0 : i0 + cc], jnp.uint8)
+        )
+        for lst, p in zip(parts, planes):
+            lst.append(np.asarray(p))
+    y, cb, cr = (np.concatenate(lst) for lst in parts)
+    return [(y, False), (cb, True), (cr, True)]
+
+
+def _video_sizes_from_batches(
+    plane_batches: list[tuple[np.ndarray, bool]],
+    cfg: CodecConfig,
+    w: int,
+    h: int,
+    chunk_frames: int | None,
+) -> np.ndarray:
+    f = int(plane_batches[0][0].shape[0])
     per_frame = np.zeros(f, np.int64)
     skeletons = []
     for batch, chroma in plane_batches:
@@ -312,6 +397,20 @@ def video_container_sizes(
         cont.Container(config=cfg, width=w, height=h, planes=skeletons)
     ))
     return per_frame + header
+
+
+def video_container_sizes(
+    frames: np.ndarray,
+    cfg: CodecConfig,
+    chunk_frames: int | None = None,
+) -> np.ndarray:
+    """EXACT per-frame container sizes (bytes) for VideoCodec(cfg).encode
+    (frames), without packing: (F,) int64. Remember that the batch shares
+    ONE table per plane type, so these differ from per-image
+    container_size whenever tables are dynamic."""
+    batches = _video_plane_batches(frames, cfg, chunk_frames)
+    h, w = int(frames.shape[1]), int(frames.shape[2])
+    return _video_sizes_from_batches(batches, cfg, w, h, chunk_frames)
 
 
 def encode_video_to_size(
@@ -326,40 +425,31 @@ def encode_video_to_size(
     containers, at one shared quality (the batch analog of encode_to_size;
     per-frame streams stay individually decodable). Returns
     (streams, quality)."""
-    if not qualities:
-        raise ValueError("empty quality ladder")
     base = config or CodecConfig()
     if frames.ndim == 4 and base.chroma == "gray":
         base = base.replace(chroma="420")
-    ladder = sorted(set(int(q) for q in qualities))
+    ladder = _clean_ladder(qualities)
+    # the RGB->YCbCr split is quality-independent: convert once, not per rung
+    batches = _video_plane_batches(frames, base, chunk_frames)
+    h, w = int(frames.shape[1]), int(frames.shape[2])
 
     totals: dict[int, int] = {}
 
-    def probe(q: int) -> int:
+    def size_of(q: int) -> int:
         if q not in totals:
-            totals[q] = int(video_container_sizes(
-                frames, base.replace(quality=q), chunk_frames
+            totals[q] = int(_video_sizes_from_batches(
+                batches, base.replace(quality=q), w, h, chunk_frames
             ).sum())
         return totals[q]
 
-    lo, hi = 0, len(ladder) - 1
-    if probe(ladder[lo]) > total_bytes:
-        if strict:
-            raise ValueError(
-                f"quality {ladder[lo]} needs {totals[ladder[lo]]} bytes > "
-                f"budget {total_bytes}"
-            )
-        best = ladder[lo]
-    elif probe(ladder[hi]) <= total_bytes:
-        best = ladder[hi]
-    else:
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if probe(ladder[mid]) <= total_bytes:
-                lo = mid
-            else:
-                hi = mid
-        best = ladder[lo]
+    best = _ladder_bisect(
+        ladder,
+        lambda q: size_of(q) <= total_bytes,
+        strict,
+        lambda q: (
+            f"quality {q} needs {size_of(q)} bytes > budget {total_bytes}"
+        ),
+    )
     from dct_tpu.models.video import VideoCodec
 
     streams = VideoCodec(
@@ -408,20 +498,6 @@ def _plane_sse_chunks(
     return sq.reshape(h, pad_w // 4096, 4096).sum(axis=2)
 
 
-def _pad_plane(plane: np.ndarray, cfg: CodecConfig) -> jax.Array:
-    """The exact padding encode_plane applies (block grid + stripe grid)."""
-    h, w = int(plane.shape[0]), int(plane.shape[1])
-    bh, bw, _ = _codec._padded_grid(h, w, cfg)
-    n = cfg.block_size
-    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
-    ph, pw = bh * n, bw * n
-    if img.shape[0] != ph or img.shape[1] != pw:
-        img = jnp.pad(
-            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
-        )
-    return img
-
-
 def roundtrip_sse(image: np.ndarray, cfg: CodecConfig) -> int:
     """EXACT sum of squared pixel errors of encode->decode under `cfg`,
     without producing a bitstream. Grayscale (H, W) only; color goes
@@ -450,14 +526,7 @@ def _rgb_sse_chunks(
     for i, plane in enumerate(planes):
         n = cfg.block_size
         ph_, pw_ = int(plane.shape[0]), int(plane.shape[1])
-        bh, bw, _ = _codec._padded_grid(ph_, pw_, cfg)
-        p = blk.pad_to_blocks(plane, n)
-        tgt_h, tgt_w = bh * n, bw * n
-        if p.shape[0] != tgt_h or p.shape[1] != tgt_w:
-            p = jnp.pad(
-                p, ((0, tgt_h - p.shape[0]), (0, tgt_w - p.shape[1])),
-                mode="edge",
-            )
+        p = _pad_plane(plane, cfg)
         chroma = i > 0
         pixels = blk.image_to_blocks(p, n)
         scale = None
@@ -469,7 +538,7 @@ def _rgb_sse_chunks(
         zz = _codec._fused_encode(pixels, cfg, scale, chroma)
         rec = _codec._fused_decode(zz, cfg, scale, chroma)
         recs.append(
-            blk.blocks_to_image(rec, tgt_h, tgt_w, n)[:ph_, :pw_]
+            blk.blocks_to_image(rec, p.shape[0], p.shape[1], n)[:ph_, :pw_]
         )
     out = _color.planes_to_rgb(recs[0], recs[1], recs[2], cfg.chroma, h, w)
     d = out.astype(jnp.int32) - rgb.astype(jnp.int32)
@@ -481,17 +550,20 @@ def _rgb_sse_chunks(
 
 
 def psnr_at_quality(image: np.ndarray, cfg: CodecConfig) -> float:
-    """EXACT PSNR (dB) of encoding `image` under `cfg` — identical to
-    metrics.psnr(image, decode(encode(image, cfg))) — without packing or
-    parsing a bitstream. Probes run entirely on device; only int32
-    partial sums are fetched."""
+    """EXACT PSNR (dB) of encoding `image` under `cfg` — float-identical
+    to metrics.psnr(image, decode(encode(image, cfg))) — without packing
+    or parsing a bitstream. Probes run entirely on device; only int32
+    partial sums are fetched.
+
+    Float-identical because both compute 10*log10(255^2 / (sse / n)) in
+    float64 and metrics.mse's np.mean over integer-valued f64 squares is
+    exact below 2^53 (any image under ~10^8 pixels)."""
+    cfg = _normalize_chroma(image.ndim, cfg)
     h, w = int(image.shape[0]), int(image.shape[1])
     if image.ndim == 2:
         sse = roundtrip_sse(image, cfg)
         n_px = h * w
     else:
-        if cfg.chroma == "gray":
-            raise ValueError("RGB input requires chroma '444' or '420'")
         chunks = np.asarray(
             _rgb_sse_chunks(jnp.asarray(image, jnp.uint8), cfg, h, w)
         )
@@ -499,7 +571,8 @@ def psnr_at_quality(image: np.ndarray, cfg: CodecConfig) -> float:
         n_px = h * w * 3
     if sse == 0:
         return float("inf")
-    return float(10.0 * np.log10(255.0**2 * n_px / sse))
+    mse = sse / n_px  # metrics.mse computes exactly this value in f64
+    return float(10.0 * np.log10(255.0**2 / mse))
 
 
 def encode_to_psnr(
@@ -515,39 +588,25 @@ def encode_to_psnr(
 
     If even the highest rung misses the target: raise ValueError when
     `strict`, else return the highest-rung encode (best effort)."""
-    if not qualities:
-        raise ValueError("empty quality ladder")
-    base = config or CodecConfig()
-    if image.ndim == 3 and base.chroma == "gray":
-        base = base.replace(chroma="420")
-    ladder = sorted(set(int(q) for q in qualities))
+    base = _normalize_chroma(image.ndim, config or CodecConfig())
+    ladder = _clean_ladder(qualities)[::-1]  # descending: see _ladder_bisect
 
     psnrs: dict[int, float] = {}
 
-    def probe(q: int) -> float:
+    def psnr_of(q: int) -> float:
         if q not in psnrs:
             psnrs[q] = psnr_at_quality(image, base.replace(quality=q))
         return psnrs[q]
 
-    lo, hi = 0, len(ladder) - 1
-    if probe(ladder[hi]) < min_psnr:
-        if strict:
-            raise ValueError(
-                f"quality {ladder[hi]} reaches only "
-                f"{psnrs[ladder[hi]]:.2f} dB < target {min_psnr}"
-            )
-        best = ladder[hi]
-    elif probe(ladder[lo]) >= min_psnr:
-        best = ladder[lo]
-    else:
-        # invariant: ladder[lo] misses the target, ladder[hi] meets it
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if probe(ladder[mid]) >= min_psnr:
-                hi = mid
-            else:
-                lo = mid
-        best = ladder[hi]
+    best = _ladder_bisect(
+        ladder,
+        lambda q: psnr_of(q) >= min_psnr,
+        strict,
+        lambda q: (
+            f"quality {q} reaches only {psnr_of(q):.2f} dB < "
+            f"target {min_psnr}"
+        ),
+    )
     data = _codec.encode(image, base.replace(quality=best))
     return data, best
 
@@ -567,38 +626,21 @@ def encode_to_size(
     when `strict`, else return the lowest-rung encode (over budget, best
     effort). Probes are exact (see container_size), so the returned
     container always fits when a fitting rung exists."""
-    if not qualities:
-        raise ValueError("empty quality ladder")
-    base = config or CodecConfig()
-    if image.ndim == 3 and base.chroma == "gray":
-        base = base.replace(chroma="420")
-    ladder = sorted(set(int(q) for q in qualities))
+    base = _normalize_chroma(image.ndim, config or CodecConfig())
+    ladder = _clean_ladder(qualities)
 
     sizes: dict[int, int] = {}
 
-    def probe(q: int) -> int:
+    def size_of(q: int) -> int:
         if q not in sizes:
             sizes[q] = container_size(image, base.replace(quality=q))
         return sizes[q]
 
-    lo, hi = 0, len(ladder) - 1
-    if probe(ladder[lo]) > max_bytes:
-        if strict:
-            raise ValueError(
-                f"quality {ladder[lo]} needs {sizes[ladder[lo]]} bytes > "
-                f"budget {max_bytes}"
-            )
-        best = ladder[lo]
-    elif probe(ladder[hi]) <= max_bytes:
-        best = ladder[hi]
-    else:
-        # invariant: ladder[lo] fits, ladder[hi] does not
-        while hi - lo > 1:
-            mid = (lo + hi) // 2
-            if probe(ladder[mid]) <= max_bytes:
-                lo = mid
-            else:
-                hi = mid
-        best = ladder[lo]
+    best = _ladder_bisect(
+        ladder,
+        lambda q: size_of(q) <= max_bytes,
+        strict,
+        lambda q: f"quality {q} needs {size_of(q)} bytes > budget {max_bytes}",
+    )
     data = _codec.encode(image, base.replace(quality=best))
     return data, best

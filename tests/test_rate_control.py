@@ -134,14 +134,36 @@ def test_sse_probe_exact_gray(cfg):
 
 
 @pytest.mark.parametrize("chroma", ["444", "420"])
-def test_psnr_probe_exact_color(chroma):
+def test_psnr_probe_float_identical_to_metrics(chroma):
+    """The probe promises FLOAT-identity with metrics.psnr of a real
+    roundtrip (both compute 10*log10(255^2/(sse/n)) from exact f64
+    integer sums)."""
+    from dct_tpu.utils import metrics
+
     g = image_io.synthetic_image(50, 66, "photo", seed=14)
     rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 5, 1)], -1)
     cfg = CodecConfig(quality=55, chroma=chroma, adaptive=True)
     rec = codec.decode(codec.encode(rgb, cfg))
-    want_sse = _sse(rec, rgb)
-    want = float(10.0 * np.log10(255.0**2 * rgb.size / want_sse))
-    assert rate_control.psnr_at_quality(rgb, cfg) == want
+    assert rate_control.psnr_at_quality(rgb, cfg) == float(
+        metrics.psnr(rgb, rec)
+    )
+
+
+def test_chroma_normalization_matches_codec_encode():
+    """container_size must follow codec.encode's rank rules: RGB + gray
+    chroma switches to 420; gray image + color chroma is rejected before
+    any probe work."""
+    g = image_io.synthetic_image(24, 32, "photo", seed=2)
+    rgb = np.stack([g, g, g], -1)
+    assert rate_control.container_size(rgb, CodecConfig()) == len(
+        codec.encode(rgb, CodecConfig())
+    )
+    with pytest.raises(ValueError, match="chroma"):
+        rate_control.container_size(g, CodecConfig(chroma="444"))
+    with pytest.raises(ValueError, match="chroma"):
+        rate_control.encode_to_size(g, 10**6, CodecConfig(chroma="420"))
+    with pytest.raises(ValueError, match="chroma"):
+        rate_control.encode_to_psnr(g, 30.0, CodecConfig(chroma="444"))
 
 
 def test_encode_to_psnr_picks_lowest_meeting_rung():
