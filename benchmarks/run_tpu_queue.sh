@@ -14,6 +14,9 @@ mkdir -p /tmp/tpuq
 # 1-core host: timing runs are garbage under contention (CLAUDE.md).
 # If a test suite or the invariant soak happens to be running when the
 # tunnel comes back, stop/await them before starting the measurements.
+# The stop file must PERSIST through the whole queue (a segmented soak
+# loop starts a fresh process every ~15 min and would otherwise restart
+# mid-queue and contend every timing run); it is removed at the end.
 touch /tmp/stop_fuzz_soak   # fuzz_soak.py polls this and exits cleanly
 for _ in $(seq 1 120); do
   pgrep -f "python -m pytest" >/dev/null 2>&1 \
@@ -21,7 +24,6 @@ for _ in $(seq 1 120); do
   echo "$(date +%H:%M:%S) waiting for pytest/soak to finish" >> /tmp/tpuq/queue.log
   sleep 60
 done
-rm -f /tmp/stop_fuzz_soak
 
 run() { # name timeout_s cmd...
   local name=$1 tmo=$2; shift 2
@@ -54,4 +56,5 @@ run dynamic_cost 1800 python benchmarks/dynamic_cost.py
 #    kernels; CPU exactness is already test-asserted).
 run rate_control 1200 python benchmarks/rc_tpu_check.py
 
+rm -f /tmp/stop_fuzz_soak  # timing done: the soak loop may resume
 echo "queue done $(date +%H:%M:%S)" | tee -a /tmp/tpuq/queue.log

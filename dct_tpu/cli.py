@@ -75,19 +75,24 @@ def cmd_encode(args) -> int:
         print("encode: --max-bytes and --min-psnr are mutually exclusive",
               file=sys.stderr)
         return 2
-    if args.max_bytes is not None:
-        from dct_tpu.models import rate_control
+    try:
+        if args.max_bytes is not None:
+            from dct_tpu.models import rate_control
 
-        data, q = rate_control.encode_to_size(img, args.max_bytes, cfg)
-        chosen = f" (rate control: quality {q} for <= {args.max_bytes} B)"
-    elif args.min_psnr is not None:
-        from dct_tpu.models import rate_control
+            data, q = rate_control.encode_to_size(img, args.max_bytes, cfg)
+            chosen = f" (rate control: quality {q} for <= {args.max_bytes} B)"
+        elif args.min_psnr is not None:
+            from dct_tpu.models import rate_control
 
-        data, q = rate_control.encode_to_psnr(img, args.min_psnr, cfg)
-        chosen = f" (rate control: quality {q} for >= {args.min_psnr} dB)"
-    else:
-        data = codec.encode(img, cfg)
-        chosen = ""
+            data, q = rate_control.encode_to_psnr(img, args.min_psnr, cfg)
+            chosen = f" (rate control: quality {q} for >= {args.min_psnr} dB)"
+        else:
+            data = codec.encode(img, cfg)
+            chosen = ""
+    except ValueError as e:
+        # infeasible rate-control target: clean message, not a traceback
+        print(f"encode: {e}", file=sys.stderr)
+        return 2
     dt = time.perf_counter() - t0
     with open(args.output, "wb") as f:
         f.write(data)
@@ -106,7 +111,13 @@ def cmd_decode(args) -> int:
     from dct_tpu.utils import image_io
 
     data = open(args.input, "rb").read()
-    img = codec.decode(data)
+    try:
+        img = codec.decode(data)
+    except ValueError as e:
+        # corrupt/hostile container: clean message (run `verify` for the
+        # per-stripe report), not a traceback
+        print(f"decode: {args.input}: {e}", file=sys.stderr)
+        return 1
     image_io.write_image(args.output, img)
     print(f"{args.input} -> {args.output} ({img.shape[1]}x{img.shape[0]})")
     return 0
@@ -322,10 +333,21 @@ def cmd_encode_video(args) -> int:
         # budget the per-frame containers; the .tpdv wrapper adds a known
         # 8 + 4F bytes on top (container.serialize_streams)
         wrapper = 8 + 4 * frames.shape[0]
-        streams, q = rate_control.encode_video_to_size(
-            frames, args.max_total_bytes - wrapper, cfg,
-            chunk_frames=args.chunk_frames,
-        )
+        if args.max_total_bytes <= wrapper:
+            print(
+                f"encode-video: --max-total-bytes {args.max_total_bytes} "
+                f"cannot even cover the {wrapper}-byte .tpdv stream header "
+                f"for {frames.shape[0]} frames", file=sys.stderr,
+            )
+            return 2
+        try:
+            streams, q = rate_control.encode_video_to_size(
+                frames, args.max_total_bytes - wrapper, cfg,
+                chunk_frames=args.chunk_frames,
+            )
+        except ValueError as e:
+            print(f"encode-video: {e}", file=sys.stderr)
+            return 2
         chosen = f" (rate control: quality {q})"
     else:
         streams = VideoCodec(cfg, chunk_frames=args.chunk_frames).encode(frames)

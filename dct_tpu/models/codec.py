@@ -133,6 +133,38 @@ def encode_analyze(image: jax.Array, cfg: CodecConfig, chroma: bool = False):
     return symbols, var_codes, hist, run_hist
 
 
+def symbol_chunks_for(
+    symbols,
+    cfg: CodecConfig,
+    lengths: jax.Array,
+    codes: jax.Array,
+    run_lengths: jax.Array | None = None,
+    run_codes: jax.Array | None = None,
+):
+    """The codec's single mode-dispatch over bs.symbol_chunks: (cv, cl).
+
+    Shared by the packer (encode_pack) and the rate-control size probes
+    (models/rate_control.py) — the probes' byte-exactness contract is
+    that they reduce the SAME chunk-length tensor the packer offsets by,
+    which this shared dispatch makes structural."""
+    rkw = dict(
+        run_lengths=run_lengths,
+        run_codes=run_codes,
+        run_bits=bs.run_field_bits(cfg.n2),
+    )
+    mode = cfg.huffman_mode if cfg.use_huffman else "none"
+    if mode == "category":
+        return bs.symbol_chunks(
+            symbols, mode, cat_lengths=lengths, cat_codes=codes, **rkw
+        )
+    if mode == "direct":
+        return bs.symbol_chunks(
+            symbols, mode, val_lengths=lengths, val_codes=codes,
+            vmin=DIRECT_VMIN, **rkw
+        )
+    return bs.symbol_chunks(symbols, mode, **rkw)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
 def encode_pack(
     symbols: rle.RLEBlocks,
@@ -146,23 +178,9 @@ def encode_pack(
     """Stage 2 on device: symbols + canonical table -> packed stripe units."""
     if cfg.coded_runs and run_lengths is None:
         raise ValueError("coded_runs requires a run table")
-    rkw = dict(
-        run_lengths=run_lengths,
-        run_codes=run_codes,
-        run_bits=bs.run_field_bits(cfg.n2),
+    cv, cl = symbol_chunks_for(
+        symbols, cfg, lengths, codes, run_lengths, run_codes
     )
-    mode = cfg.huffman_mode if cfg.use_huffman else "none"
-    if mode == "category":
-        cv, cl = bs.symbol_chunks(
-            symbols, mode, cat_lengths=lengths, cat_codes=codes, **rkw
-        )
-    elif mode == "direct":
-        cv, cl = bs.symbol_chunks(
-            symbols, mode, val_lengths=lengths, val_codes=codes,
-            vmin=DIRECT_VMIN, **rkw
-        )
-    else:
-        cv, cl = bs.symbol_chunks(symbols, mode, **rkw)
     nb = symbols.values.shape[0]
     bps = nb // n_stripes  # blocks per stripe (static)
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
@@ -294,21 +312,31 @@ def encode_step(
     return packed, var_codes
 
 
-def encode_plane(
-    plane: np.ndarray, cfg: CodecConfig, chroma: bool = False
-) -> cont.PlaneData:
-    """Encode one u8 plane to PlaneData (device compute + host assembly)."""
+def pad_plane_for_encode(plane, cfg: CodecConfig) -> jax.Array:
+    """The canonical encoder padding: block grid (edge-replicated) then
+    stripe grid. ONE implementation shared by encode_plane and the
+    rate-control probes (models/rate_control.py) so a padding change can
+    never silently break the probes' byte-exactness contract. Accepts
+    host arrays or traced values (shapes are static under jit)."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
+    bh, bw, _ = _padded_grid(h, w, cfg)
     n = cfg.block_size
-    bh, bw, n_stripes = _padded_grid(h, w, cfg)
-    padded = np.asarray(plane, np.uint8)
-    img = jnp.asarray(padded)
-    img = blk.pad_to_blocks(img, n)
+    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
     ph, pw = bh * n, bw * n
     if img.shape[0] != ph or img.shape[1] != pw:
         img = jnp.pad(
             img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
         )
+    return img
+
+
+def encode_plane(
+    plane: np.ndarray, cfg: CodecConfig, chroma: bool = False
+) -> cont.PlaneData:
+    """Encode one u8 plane to PlaneData (device compute + host assembly)."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    _, _, n_stripes = _padded_grid(h, w, cfg)
+    img = pad_plane_for_encode(plane, cfg)
 
     if cfg.static_tables:
         table = _build_table(cfg, None)

@@ -44,7 +44,6 @@ import numpy as np
 from dct_tpu import container as cont
 from dct_tpu.config import CodecConfig
 from dct_tpu.models import codec as _codec
-from dct_tpu.ops import bitstream as bs
 from dct_tpu.ops import blocks as blk
 
 # Quality rungs for the encode_to_* ladders: dense where the size/quality
@@ -67,19 +66,31 @@ def _normalize_chroma(ndim: int, cfg: CodecConfig) -> CodecConfig:
     return cfg
 
 
-def _pad_plane(plane, cfg: CodecConfig) -> jax.Array:
-    """The exact padding encode_plane applies (block grid + stripe grid).
-    Accepts host arrays or traced values (shapes are static under jit)."""
-    h, w = int(plane.shape[0]), int(plane.shape[1])
-    bh, bw, _ = _codec._padded_grid(h, w, cfg)
+# the probes MUST pad exactly as the encoder does — one shared
+# implementation (codec.pad_plane_for_encode), not a mirror
+_pad_plane = _codec.pad_plane_for_encode
+
+
+def _plane_roundtrip(
+    plane_padded: jax.Array, cfg: CodecConfig, chroma: bool
+) -> jax.Array:
+    """Quantize + reconstruct one padded plane with the production
+    transform pair (the ops decode_plane_device executes — the wire
+    carries these exact integers), returning the reconstructed padded
+    plane. Shared by the grayscale and RGB SSE kernels."""
     n = cfg.block_size
-    img = blk.pad_to_blocks(jnp.asarray(plane, jnp.uint8), n)
-    ph, pw = bh * n, bw * n
-    if img.shape[0] != ph or img.shape[1] != pw:
-        img = jnp.pad(
-            img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
-        )
-    return img
+    pixels = blk.image_to_blocks(plane_padded, n)
+    scale = None
+    if cfg.adaptive:
+        from dct_tpu.ops import quant, transform
+
+        var = quant.block_variance_flat(transform.level_shift(pixels))
+        scale = quant.scale_from_variance_code(quant.variance_code(var))
+    zz = _codec._fused_encode(pixels, cfg, scale, chroma)
+    rec = _codec._fused_decode(zz, cfg, scale, chroma)
+    return blk.blocks_to_image(
+        rec, plane_padded.shape[0], plane_padded.shape[1], n
+    )
 
 
 def _ladder_bisect(
@@ -135,26 +146,11 @@ def _chunk_bits(
     """Per-stripe payload bit counts: encode_pack minus the pack.
 
     Reduces the same (B, S, 3) chunk-length tensor the scatter packer
-    consumes (codec.encode_pack), so the result equals the packer's
-    bit_lengths for every mode; the chunk VALUES are dead code under this
-    reduction and XLA eliminates them."""
-    rkw = dict(
-        run_lengths=run_lengths,
-        run_codes=run_codes,
-        run_bits=bs.run_field_bits(cfg.n2),
+    consumes — via codec.symbol_chunks_for, the SAME dispatch
+    encode_pack calls, so the equality is structural, not a mirror."""
+    _, cl = _codec.symbol_chunks_for(
+        symbols, cfg, lengths, codes, run_lengths, run_codes
     )
-    mode = cfg.huffman_mode if cfg.use_huffman else "none"
-    if mode == "category":
-        _, cl = bs.symbol_chunks(
-            symbols, mode, cat_lengths=lengths, cat_codes=codes, **rkw
-        )
-    elif mode == "direct":
-        _, cl = bs.symbol_chunks(
-            symbols, mode, val_lengths=lengths, val_codes=codes,
-            vmin=_codec.DIRECT_VMIN, **rkw
-        )
-    else:
-        _, cl = bs.symbol_chunks(symbols, mode, **rkw)
     return cl.reshape(n_stripes, -1).sum(axis=1)
 
 
@@ -202,27 +198,28 @@ def _plane_size(
     return bits, skeleton
 
 
-def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
-    """EXACT serialized container size in bytes for encoding `image` under
-    `cfg` — without packing or materializing the payload.
-
-    Grayscale (H, W) or RGB (H, W, 3) by array rank, with codec.encode's
-    chroma normalization (RGB + chroma='gray' switches to '420')."""
-    cfg = _normalize_chroma(image.ndim, cfg)
+def _image_plane_args(
+    image: np.ndarray, cfg: CodecConfig
+) -> list[tuple[np.ndarray, bool]]:
+    """Image -> [(plane, is_chroma)] under an already-normalized cfg. The
+    RGB->YCbCr split is quality-independent, so encode_to_size builds
+    this once and probes every rung against it."""
     if image.ndim == 2:
-        plane_args = [(np.asarray(image, np.uint8), False)]
-    else:
-        from dct_tpu.models import color as _color
+        return [(np.asarray(image, np.uint8), False)]
+    from dct_tpu.models import color as _color
 
-        y, cb, cr = _color._to_planes(
-            jnp.asarray(image, jnp.uint8), cfg.chroma
-        )
-        plane_args = [
-            (np.asarray(y), False), (np.asarray(cb), True),
-            (np.asarray(cr), True),
-        ]
-    w, h = int(image.shape[1]), int(image.shape[0])
+    y, cb, cr = _color._to_planes(jnp.asarray(image, jnp.uint8), cfg.chroma)
+    return [
+        (np.asarray(y), False), (np.asarray(cb), True), (np.asarray(cr), True),
+    ]
 
+
+def _container_size_from_planes(
+    plane_args: list[tuple[np.ndarray, bool]],
+    cfg: CodecConfig,
+    w: int,
+    h: int,
+) -> int:
     payload = 0
     skeletons = []
     for plane, chroma in plane_args:
@@ -235,6 +232,19 @@ def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
         )
     )
     return header + payload
+
+
+def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
+    """EXACT serialized container size in bytes for encoding `image` under
+    `cfg` — without packing or materializing the payload.
+
+    Grayscale (H, W) or RGB (H, W, 3) by array rank, with codec.encode's
+    chroma normalization (RGB + chroma='gray' switches to '420')."""
+    cfg = _normalize_chroma(image.ndim, cfg)
+    return _container_size_from_planes(
+        _image_plane_args(image, cfg), cfg,
+        int(image.shape[1]), int(image.shape[0]),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -470,26 +480,14 @@ def _plane_sse_chunks(
     """Exact roundtrip squared error of one padded plane vs its unpadded
     region, as (h, ceil(w/4096)) int32 column-chunk partial sums.
 
-    Runs the production transform pair — quantize via _fused_encode,
-    reconstruct via _fused_decode, the same ops decode_plane_device uses —
-    so the reconstruction is bit-identical to decoding a real container
-    (the wire carries these exact integers; byte-identity between staged,
-    fused, and packed paths is established by tests/test_fused_encode.py).
-    Chunked int32 keeps the sum exact without x64: each chunk is at most
-    4096 * 255^2 < 2^31; the caller totals chunks in Python ints."""
-    n = cfg.block_size
-    pixels = blk.image_to_blocks(plane_padded, n)
-    scale = None
-    if cfg.adaptive:
-        from dct_tpu.ops import quant, transform
-
-        var = quant.block_variance_flat(transform.level_shift(pixels))
-        scale = quant.scale_from_variance_code(quant.variance_code(var))
-    zz = _codec._fused_encode(pixels, cfg, scale, chroma)
-    rec = _codec._fused_decode(zz, cfg, scale, chroma)
-    img = blk.blocks_to_image(
-        rec, plane_padded.shape[0], plane_padded.shape[1], n
-    )[:h, :w]
+    Runs the production transform pair via _plane_roundtrip (the same ops
+    decode_plane_device uses), so the reconstruction is bit-identical to
+    decoding a real container (the wire carries these exact integers;
+    byte-identity between staged, fused, and packed paths is established
+    by tests/test_fused_encode.py). Chunked int32 keeps the sum exact
+    without x64: each chunk is at most 4096 * 255^2 < 2^31; the caller
+    totals chunks in Python ints."""
+    img = _plane_roundtrip(plane_padded, cfg, chroma)[:h, :w]
     d = img.astype(jnp.int32) - plane_padded[:h, :w].astype(jnp.int32)
     sq = d * d
     pad_w = -(-w // 4096) * 4096
@@ -524,22 +522,9 @@ def _rgb_sse_chunks(
     planes = _color._to_planes(rgb, cfg.chroma)
     recs = []
     for i, plane in enumerate(planes):
-        n = cfg.block_size
         ph_, pw_ = int(plane.shape[0]), int(plane.shape[1])
-        p = _pad_plane(plane, cfg)
-        chroma = i > 0
-        pixels = blk.image_to_blocks(p, n)
-        scale = None
-        if cfg.adaptive:
-            from dct_tpu.ops import quant, transform
-
-            var = quant.block_variance_flat(transform.level_shift(pixels))
-            scale = quant.scale_from_variance_code(quant.variance_code(var))
-        zz = _codec._fused_encode(pixels, cfg, scale, chroma)
-        rec = _codec._fused_decode(zz, cfg, scale, chroma)
-        recs.append(
-            blk.blocks_to_image(rec, p.shape[0], p.shape[1], n)[:ph_, :pw_]
-        )
+        rec = _plane_roundtrip(_pad_plane(plane, cfg), cfg, chroma=i > 0)
+        recs.append(rec[:ph_, :pw_])
     out = _color.planes_to_rgb(recs[0], recs[1], recs[2], cfg.chroma, h, w)
     d = out.astype(jnp.int32) - rgb.astype(jnp.int32)
     sq = (d * d).sum(axis=2)  # <= 3 * 255^2 per pixel
@@ -628,12 +613,17 @@ def encode_to_size(
     container always fits when a fitting rung exists."""
     base = _normalize_chroma(image.ndim, config or CodecConfig())
     ladder = _clean_ladder(qualities)
+    # the RGB->YCbCr split is quality-independent: convert once, not per rung
+    plane_args = _image_plane_args(image, base)
+    w, h = int(image.shape[1]), int(image.shape[0])
 
     sizes: dict[int, int] = {}
 
     def size_of(q: int) -> int:
         if q not in sizes:
-            sizes[q] = container_size(image, base.replace(quality=q))
+            sizes[q] = _container_size_from_planes(
+                plane_args, base.replace(quality=q), w, h
+            )
         return sizes[q]
 
     best = _ladder_bisect(

@@ -566,6 +566,16 @@ def unpack_stripe_host(
                     v = raw - 0x10000 if raw >= 0x8000 else raw
                 else:
                     v = sym + vmin
+                    if not -0x8000 <= v <= 0x7FFF:
+                        # outside the wire's int16 coefficient space —
+                        # only reachable with a foreign/corrupt table
+                        # (hostile alpha/vmin header fields); the native
+                        # decoder rejects identically (err=2) instead of
+                        # wrapping, keeping the two decoders byte-identical
+                        # on rejection as well as success
+                        raise ValueError(
+                            f"direct value {v} exceeds the wire range"
+                        )
             else:
                 raw = r.read_bits(16)
                 v = raw - 0x10000 if raw >= 0x8000 else raw

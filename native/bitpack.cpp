@@ -236,7 +236,15 @@ void decode_one_stripe(const uint8_t* data, uint64_t nbytes, int bps, int n2,
           v = (raw >= 0x8000u) ? (int32_t)raw - 0x10000 : (int32_t)raw;
           run = read_run(w, len + 16);
         } else {
-          v = sym + vmin;
+          // int64: a hostile header can carry any i32 vmin, making the
+          // int32 sum overflow (UB); and any value outside the wire's
+          // int16 coefficient space must be rejected, not truncated by
+          // the (int16_t) store — the Python reference decoder rejects
+          // identically, keeping the decoders byte-identical on
+          // rejection as well as success.
+          int64_t v64 = (int64_t)sym + (int64_t)vmin;
+          if (v64 < -32768 || v64 > 32767) { *err = 2; return; }
+          v = (int32_t)v64;
           run = read_run(w, len);
         }
       } else {

@@ -298,3 +298,54 @@ def test_encode_video_max_total_bytes(tmp_path, capsys):
     rec = tmp_path / "rec.npy"
     assert cli.main(["decode-video", str(capped), str(rec)]) == 0
     assert np.load(rec).shape == frames.shape
+
+
+def test_infeasible_rate_targets_fail_cleanly(pgm, capsys):
+    """Infeasible --max-bytes / --min-psnr / --max-total-bytes must exit 2
+    with a message, not escape a ValueError traceback."""
+    d, p, _ = pgm
+    out = d / "never.tpdc"
+    assert cli.main(["encode", str(p), str(out), "--max-bytes", "10"]) == 2
+    assert "budget" in capsys.readouterr().err
+    assert cli.main(["encode", str(p), str(out), "--min-psnr", "500"]) == 2
+    assert "target" in capsys.readouterr().err
+    frames = np.stack([
+        image_io.synthetic_image(24, 32, "photo", seed=s) for s in range(2)
+    ])
+    src = d / "tiny.npy"
+    np.save(src, frames)
+    tp = d / "never.tpdv"
+    # smaller than even the .tpdv wrapper header
+    assert cli.main(
+        ["encode-video", str(src), str(tp), "--max-total-bytes", "10"]
+    ) == 2
+    assert "header" in capsys.readouterr().err
+    # bigger than the wrapper but smaller than any rung
+    assert cli.main(
+        ["encode-video", str(src), str(tp), "--max-total-bytes", "40"]
+    ) == 2
+    assert "budget" in capsys.readouterr().err
+
+
+def test_decode_corrupt_container_fails_cleanly(pgm, tmp_path, capsys):
+    d, p, _ = pgm
+    import numpy as np_
+    from dct_tpu import container as cont_
+    from dct_tpu.config import CodecConfig as CC_
+
+    lengths = np_.zeros(40001, np_.uint8)
+    lengths[33100] = 1
+    lengths[40000] = 1
+    plane = cont_.PlaneData(
+        width=8, height=8, table_lengths=lengths, vmin=-255,
+        variance_codes=None, stripe_bits=np_.asarray([9], np_.uint32),
+        stripes=[bytes([0b00011111, 0b10000000])],
+    )
+    bad = tmp_path / "hostile.tpdc"
+    bad.write_bytes(cont_.serialize(cont_.Container(
+        config=CC_(quality=50, huffman_mode="direct"),
+        width=8, height=8, planes=[plane],
+    )))
+    assert cli.main(["decode", str(bad), str(tmp_path / "h.pgm")]) == 1
+    assert "decode:" in capsys.readouterr().err
+    assert cli.main(["verify", str(bad)]) == 1  # per-stripe report

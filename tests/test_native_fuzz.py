@@ -268,3 +268,82 @@ def test_asan_harness_hostile_tables(tmp_path):
         assert r.returncode == 0, (
             f"sanitizer abort on hostile table {k}:\n{r.stderr[-2000:]}"
         )
+
+
+def test_hostile_direct_table_rejected_by_both_decoders():
+    """A hostile direct-mode header can carry alpha up to 65535 and any
+    i32 vmin, making sym + vmin exceed the wire's int16 coefficient
+    space. Both decoders must REJECT (Python ValueError == native err 2),
+    not wrap (native) or crash with numpy OverflowError (Python) — the
+    byte-identity contract covers rejection too."""
+    import numpy as np
+
+    from dct_tpu import container as cont, native
+    from dct_tpu.config import CodecConfig
+    from dct_tpu.models import codec, recovery
+    from dct_tpu.ops import bitstream as bs
+    from dct_tpu.ops import huffman as hf
+
+    cfg = CodecConfig(quality=50, huffman_mode="direct")
+    # 40001-symbol table (ESC last): symbol 33100 -> 33100 - 255 = 32845
+    # > int16. Two 1-bit codes keep the table canonical-valid (Kraft = 1).
+    lengths = np.zeros(40001, np.uint8)
+    lengths[33100] = 1
+    lengths[40000] = 1  # ESC
+    # stream: code '0' (symbol 33100) + 8-bit run 63 -> places the value
+    # at pos 63 and completes the single 8x8 block; 9 bits total
+    stripe = bytes([0b00011111, 0b10000000])
+    plane = cont.PlaneData(
+        width=8, height=8, table_lengths=lengths, vmin=-255,
+        variance_codes=None, stripe_bits=np.asarray([9], np.uint32),
+        stripes=[stripe],
+    )
+    data = cont.serialize(
+        cont.Container(config=cfg, width=8, height=8, planes=[plane])
+    )
+
+    # full decode path (native when available): clean rejection
+    with pytest.raises(ValueError):
+        codec.decode(data)
+    # Python reference decoder: identical rejection
+    with pytest.raises(ValueError):
+        bs.unpack_stripe_host(
+            stripe, 1, 64, "direct",
+            val_table=hf.CanonicalTable(lengths), vmin=-255,
+        )
+    # native decoder called directly (when built): err=2, not rc=0+wrap
+    if native.available():
+        with pytest.raises(ValueError, match="code 2"):
+            native.unpack_stripes(
+                [stripe], 1, 64, "direct", hf.CanonicalTable(lengths), -255
+            )
+    # integrity scan flags the stripe instead of crashing
+    assert recovery.verify(data) != []
+
+
+def test_hostile_vmin_no_overflow():
+    """vmin is an arbitrary i32 wire field: sym + vmin near INT32_MAX must
+    not overflow (UB in C, OverflowError in numpy) — both decoders reject
+    cleanly."""
+    import numpy as np
+
+    from dct_tpu import native
+    from dct_tpu.ops import bitstream as bs
+    from dct_tpu.ops import huffman as hf
+
+    lengths = np.zeros(3, np.uint8)
+    lengths[0] = 1  # symbol 0
+    lengths[2] = 1  # ESC
+    stripe = bytes([0b00011111, 0b10000000])  # sym 0, run 63
+    for vmin in (2**31 - 1, -(2**31)):
+        with pytest.raises(ValueError):
+            bs.unpack_stripe_host(
+                stripe, 1, 64, "direct",
+                val_table=hf.CanonicalTable(lengths), vmin=vmin,
+            )
+        if native.available():
+            with pytest.raises(ValueError, match="code 2"):
+                native.unpack_stripes(
+                    [stripe], 1, 64, "direct",
+                    hf.CanonicalTable(lengths), vmin,
+                )
