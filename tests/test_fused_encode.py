@@ -223,9 +223,10 @@ def test_fused_block_sizes_match_staged(block, adaptive, dc, runs, quality):
 @pytest.mark.parametrize("full", [False, True])
 def test_fused_direct_and_none_modes_match_staged(mode, full):
     """Round 2 extended the fused kernel beyond category entropy: raw
-    16-bit "none" mode and per-value "direct" mode (513-entry alphabet
-    gathered by an in-kernel one-hot MXU contraction, ESC appending the
-    raw 16-bit value). Byte-identity vs the staged pipeline.
+    16-bit "none" mode and per-value "direct" mode (512-entry alphabet
+    from production tables — 511 values + ESC, dtab bound 640 — gathered
+    by an in-kernel one-hot MXU contraction, ESC appending the raw
+    16-bit value). Byte-identity vs the staged pipeline.
 
     full=True adds adaptive + dc_prediction + coded_runs on top: the
     round-3 Mosaic lowering sweep caught the coded-runs branch reading a
