@@ -260,6 +260,9 @@ def main() -> None:
         parsed = [cont.deserialize(d) for d in datas]
         p0 = parsed[0].planes[0]
         ccfg = parsed[0].config
+        # frame 0's table is reused for every frame below — only sound
+        # with static tables (ADVICE r3: guard, don't assume)
+        assert ccfg.static_tables, "decode_host loop assumes static tables"
         _, _, n_stripes, bps = recovery._geometry(p0, ccfg)
         mode, table, run_table = recovery._table(p0, ccfg)
         best_h = float("inf")

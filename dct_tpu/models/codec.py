@@ -15,7 +15,8 @@ SURVEY.md section 3.5). Pipeline per plane:
 
 Two device dispatches per image with a 64-byte histogram sync between them
 — the irreducible structure of any two-pass entropy coder with per-image
-tables. Static-table mode (planned) collapses encode to one dispatch.
+tables. Static-table mode (cfg.static_tables) collapses encode to one
+dispatch.
 """
 
 from __future__ import annotations

@@ -1,8 +1,8 @@
 """Rate-distortion control: encode to a byte budget or a PSNR target by
 probing EXACT container sizes / distortions on device.
 
-The reference ships an encoded-size ESTIMATOR (entropy.c:430-466, the heap
-walk `huffman_encoded_size` — SURVEY.md section 2.11) but never closes the
+The reference ships an encoded-size ESTIMATOR (`get_encoded_size`,
+entropy.c:363-399 — SURVEY.md section 2 component 11) but never closes the
 loop into rate control. This module does, the TPU way: a size probe is the
 staged encode pipeline run WITHOUT the bit-pack — device transform + RLE +
 symbol chunk lengths reduced to one int32 per stripe — so probing a

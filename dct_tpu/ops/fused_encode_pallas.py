@@ -111,6 +111,14 @@ _SKIP_PACK = False
 # whichever rung comes first. NEVER set outside tests.
 _LADDER_START = 0
 
+# Trace-time A/B hook (benchmarks/tier_ab.py): truncate the ladder's TAIL
+# to rungs [START, STOP) + the always-eligible safe rung. Together with
+# _LADDER_START this compiles a kernel with exactly one hot rung, so the
+# A/B can separate a rung's own cost from the cost of CARRYING the other
+# rungs' compiled bodies (VMEM/register pressure). NEVER set outside
+# benchmarks.
+_LADDER_STOP: int | None = None
+
 # Ladder rung indexes for the hook (keep in sync with the ladder below).
 _TIER_INDEX = {
     "oct_narrow": 0, "oct": 1, "quad_narrow": 2, "quad": 3,
@@ -206,7 +214,8 @@ def _round_half_away_i32(x):
 def _fused_kernel(
     len_ref, code_ref, rlen_ref, rcode_ref, dtab_ref, px_ref,
     m0_ref, m1_ref, m2_ref, b_ref, scale_ref,
-    units_ref, bits_ref, scr_k, scr_d, scr_base, scr_first, *extra_scr,
+    units_ref, bits_ref, tier_ref, scr_k, scr_d, scr_base, scr_first,
+    *extra_scr,
     n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
     dc_prediction: bool, n2: int = 64, mode: str = "category",
     vmin: int = 0, n_alpha: int = 0,
@@ -220,6 +229,10 @@ def _fused_kernel(
     m0/m1/m2_ref: (128, 128) bf16 split operator parts; b_ref: (1, 128) f32
     scale_ref: (1, R, 2) f32 — adaptive quantize-divisor scale (ones if off)
     units_ref: (1, 1, U_pad) i32; bits_ref: (1, 1, 1) i32 SMEM
+    tier_ref:  (1, 1, 1) i32 SMEM — _TIER_INDEX of the pack rung this
+               stripe actually took (-1 under _SKIP_PACK); drives the
+               tier-distribution reporting in benchmarks/tier_ab.py and
+               tier_sweep.py at the cost of one scalar store per stripe
     scr_k:     (R, 128) i32 — per-symbol first unit index (off >> 4)
     scr_d:     (8R, 128) f32 — hi/lo bytes of the 4 frame digits,
                plane-major [d0hi|d0lo|d1hi|d1lo|...] (f32 storage: Mosaic
@@ -571,6 +584,7 @@ def _fused_kernel(
 
         jax.lax.fori_loop(0, R // 8, body, 0)
 
+    tier_ref[0, 0, 0] = -1
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
@@ -614,10 +628,18 @@ def _fused_kernel(
         (span_need <= WIDE_SPAN, functools.partial(plain_pack, WIDE_SPAN)),
         (span_need >= 0, functools.partial(plain_pack, safe)),
     ]
+    rungs = list(enumerate(ladder))[_LADDER_START:_LADDER_STOP]
+    if _LADDER_STOP is not None and rungs[-1][0] != len(ladder) - 1:
+        rungs.append((len(ladder) - 1, ladder[-1]))  # keep the safe rung
     prev = None
-    for cond, body in ladder[_LADDER_START:]:
+    for idx, (cond, body) in rungs:
         fire = cond if prev is None else jnp.logical_not(prev) & cond
-        pl.when(fire)(body)
+
+        def fired(idx=idx, body=body):
+            tier_ref[0, 0, 0] = idx
+            body()
+
+        pl.when(fire)(fired)
         prev = cond if prev is None else prev | cond
 
 
@@ -632,7 +654,8 @@ def encode_stripes_fused(
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
     vmin: int = 0,
-) -> PackedStripes:
+    return_tiers: bool = False,
+) -> PackedStripes | tuple[PackedStripes, jax.Array]:
     """(NB, n2) u8 blocks -> packed stripes, entirely on device.
 
     Semantically identical (byte-identical streams) to
@@ -745,7 +768,7 @@ def encode_stripes_fused(
     ]
     if mode == "direct":
         scratch.append(pltpu.VMEM((3 * R, 128), jnp.int32))
-    units, bits = pl.pallas_call(
+    units, bits, tiers = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
         in_specs=[
@@ -764,9 +787,11 @@ def encode_stripes_fused(
         out_specs=(
             pl.BlockSpec((1, 1, U_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_stripes, 1, U_pad), jnp.int32),
+            jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
         ),
         scratch_shapes=scratch,
@@ -782,7 +807,8 @@ def encode_stripes_fused(
         jnp.asarray(em0), jnp.asarray(em1), jnp.asarray(em2),
         jnp.asarray(eb), s,
     )
-    return PackedStripes(
+    packed = PackedStripes(
         units=units[:, 0, :units_capacity].astype(jnp.uint16),
         bit_lengths=bits[:, 0, 0],
     )
+    return (packed, tiers[:, 0, 0]) if return_tiers else packed
