@@ -104,19 +104,26 @@ def main() -> int:
 
         return run
 
-    @jax.jit
-    def checksum_and_tiers(fr):
-        def one(im):
-            px = blk.image_to_blocks(im, 8)
-            p, tiers = fe.encode_stripes_fused(
-                px, cfg, n_stripes, lengths, codes, return_tiers=True)
-            # int32 wraparound sum over ALL units: deterministic, covers
-            # byte divergence anywhere in the payload
-            c = jnp.sum(p.units.astype(jnp.int32)) + jnp.sum(p.bit_lengths)
-            return c, tiers
+    def make_checksum():
+        # fresh jit per rung: the _LADDER_START/_STOP globals are read at
+        # TRACE time, so a cached trace would silently reuse the first
+        # rung's kernel for every row
+        @jax.jit
+        def checksum_and_tiers(fr):
+            def one(im):
+                px = blk.image_to_blocks(im, 8)
+                p, tiers = fe.encode_stripes_fused(
+                    px, cfg, n_stripes, lengths, codes, return_tiers=True)
+                # int32 wraparound sum over ALL units: deterministic,
+                # covers byte divergence anywhere in the payload
+                c = jnp.sum(p.units.astype(jnp.int32)) + jnp.sum(
+                    p.bit_lengths)
+                return c, tiers
 
-        cs, tiers = jax.vmap(one)(fr)
-        return jnp.sum(cs), tiers.reshape(-1)
+            cs, tiers = jax.vmap(one)(fr)
+            return jnp.sum(cs), tiers.reshape(-1)
+
+        return checksum_and_tiers
 
     def timed(fn):
         float(fn(fd))  # compile + warmup
@@ -140,7 +147,7 @@ def main() -> int:
                 start = fe._TIER_INDEX[name]
                 fe._LADDER_START = start
                 fe._LADDER_STOP = start + 1 if args.solo else None
-            chk, tiers = jax.device_get(checksum_and_tiers(fd))
+            chk, tiers = jax.device_get(make_checksum()(fd))
             chk = int(chk)
             if ref is None:
                 ref = chk

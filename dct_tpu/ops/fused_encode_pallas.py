@@ -36,32 +36,32 @@ lanes):
 
      Round 2 added per-stripe PACK TIERS (one scalar branch per stripe —
      per-row branching is the measured dead end, CLAUDE.md); round 3
-     deepened them into a MERGE TREE. Tier k groups 2^k consecutive rows
-     when the group's live symbols fit one 128-lane vector AND its units
-     fit FAST_SPAN from the group leader's aligned base: each row's
-     symbols are lane-compacted left (_compact_rows: collision-free
-     LSB-first log-shifts; move distances are monotone along lanes), then
-     k levels of _merge_rows append row r+2^lvl's lanes after row r's
-     group live count — so the serial pack loop runs R/2^k iterations.
-       * oct tier  (k=3): sparse content (q <= ~50 on photo rasters)
-       * quad tier (k=2): q ~75
-       * pair tier (k=1): q ~90
+     deepened them into a MERGE TREE; round 4 re-gated the ladder from a
+     same-session hardware A/B (BASELINE.md round-4 table). Tier k groups
+     2^k consecutive rows when the group's live symbols fit one 128-lane
+     vector AND its units fit FAST_SPAN from the group leader's aligned
+     base: each row's symbols are lane-compacted left (_compact_rows:
+     collision-free LSB-first log-shifts; move distances are monotone
+     along lanes), then k levels of _merge_rows append row r+2^lvl's
+     lanes after row r's group live count — so the serial pack loop runs
+     R/2^k iterations.
+       * quad tier (k=2): the measured optimum for sparse content
+         (1.05 Gpix/s at q10-q50 vs pair 0.99, oct 0.86)
+       * pair tier (k=1): q ~90 (quad's 4-row lane budget overflows)
        * pair-wide tier: pairs whose UNITS overflow FAST_SPAN while
          their live symbols still fit 128 lanes (WIDE_SPAN = 384)
        * mid / mid-wide tiers: ungrouped rows at FAST_SPAN / WIDE_SPAN
          (q ~97: rows overflow the PAIR lane budget, so grouping stops)
        * safe tier: the round-1 ROW_SPAN loop for worst-case content.
-     Every grouped level and mid additionally has a NARROW variant
-     (span 128 = one MXU tile): the one-hot indexes units relative to
-     the group's EXACT first unit, and the <=127-unit alignment slack is
-     applied afterwards by 7 branch-free conditional rolls of the result
-     window (the round-2 dead end was per-row pl.when branching, not the
-     roll itself). Narrow halves the per-iteration compare+matmul cost
-     whenever the group's unit EXTENT fits one tile — which photo
-     content satisfies at every quality for its natural tier.
-     q50 1080p took the pair tier everywhere for 688 -> ~1000 Mpix/s in
-     round 2; round 3's ladder takes oct-narrow there (R/8 iterations at
-     one tile each = 1/4 of the round-2 pack work).
+     Measured dead ends (hardware A/B 2026-08-19, removed): the oct
+     level (k=3) — two extra merge levels cost more than the saved pack
+     iterations — and the round-3 NARROW variants (one-MXU-tile span
+     with the alignment slack applied by 7 conditional result rolls),
+     which ran 0.58-0.67 Gpix/s vs 0.8-1.05 for their wide parents: the
+     rolls cost more than the one MXU tile they save. That regression
+     shipped as the round-3 default without a hardware A/B and cost the
+     headline 32%; the ladder is now gated ONLY by same-session A/B
+     numbers (benchmarks/tier_ab.py).
 
 Bitstreams are byte-identical to the XLA pipeline (tested), so CPU tests
 and TPU production produce the same containers.
@@ -121,9 +121,8 @@ _LADDER_STOP: int | None = None
 
 # Ladder rung indexes for the hook (keep in sync with the ladder below).
 _TIER_INDEX = {
-    "oct_narrow": 0, "oct": 1, "quad_narrow": 2, "quad": 3,
-    "pair_narrow": 4, "pair": 5, "mid_narrow": 6, "pair_wide": 7,
-    "mid": 8, "mid_wide": 9, "safe": 10,
+    "quad": 0, "pair": 1, "pair_wide": 2, "mid": 3, "mid_wide": 4,
+    "safe": 5,
 }
 
 
@@ -214,7 +213,7 @@ def _round_half_away_i32(x):
 def _fused_kernel(
     len_ref, code_ref, rlen_ref, rcode_ref, dtab_ref, px_ref,
     m0_ref, m1_ref, m2_ref, b_ref, scale_ref,
-    units_ref, bits_ref, tier_ref, scr_k, scr_d, scr_base, scr_first,
+    units_ref, bits_ref, tier_ref, scr_k, scr_d, scr_base,
     *extra_scr,
     n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
     dc_prediction: bool, n2: int = 64, mode: str = "category",
@@ -240,10 +239,6 @@ def _fused_kernel(
                the DEFAULT-precision matmul rounds to bf16 internally,
                exact for byte values)
     scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
-    scr_first: (R, 1) i32 — per-row EXACT first unit (rp_ex >> 4); the
-               narrow pack tiers build the one-hot relative to it (span
-               128, one MXU tile) and roll the alignment slack
-               (first - base, <= 127) into place branch-free afterwards
     """
     R = px_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -479,10 +474,8 @@ def _fused_kernel(
         )
 
     kmat = off >> 4
-    first_vec = rp_ex >> 4  # exact first unit per row (R, 1)
-    base_vec = (first_vec >> 7) << 7  # 128-aligned unit base per row
+    base_vec = ((rp_ex >> 4) >> 7) << 7  # 128-aligned unit base per row
     scr_base[:] = base_vec
-    scr_first[:] = first_vec
 
     def write_digits(Tv, nTv, Xv, nXv):
         for j in range(4):
@@ -493,24 +486,23 @@ def _fused_kernel(
             scr_d[pl.ds((2 * j + 1) * R, R), :] = (d & 255).astype(jnp.float32)
 
     # Per-stripe pack tier (ONE scalar branch per stripe — per-ROW branching
-    # is the measured dead end; the hot loops stay branch-free). Merge TREE
-    # (round 3, VERDICT item 3): level k groups 2^k consecutive rows when
-    # the group's live symbols fit one 128-lane vector AND its units fit
-    # the tier span, running the serial pack loop at R/2^k iterations.
-    # Each level has a NARROW variant (span 128 = ONE MXU tile): the
-    # one-hot indexes units relative to the group's EXACT first unit and
-    # the <=127-unit alignment slack is rolled into place afterwards —
-    # branch-free selects on the slack's bits, NOT the round-2 dead end
-    # (that was per-row pl.when branching). Ladder in measured-cost order
-    # (MXU tile-iterations per stripe): oct-narrow R/8, oct R/4,
-    # quad-narrow R/4, quad R/2, pair-narrow R/2, pair R, mid-narrow R,
-    # pair-wide 3R/2, mid 2R, mid-wide 3R, safe 4R.
+    # is the measured dead end; the hot loops stay branch-free). Merge TREE:
+    # level k groups 2^k consecutive rows when the group's live symbols fit
+    # one 128-lane vector AND its units fit the tier span, running the
+    # serial pack loop at R/2^k iterations. Ladder in MEASURED-cost order
+    # (hardware A/B 2026-08-19, BASELINE.md round-4 table): quad R/4,
+    # pair R/2, pair-wide R/2 at 1.5x span, mid R, mid-wide R at 1.5x,
+    # safe R at worst-case span. Round 3's oct level (k=3) and the NARROW
+    # one-MXU-tile variants are measured dead ends (removed): narrow's 7
+    # conditional slack rolls cost more than the MXU tile they save
+    # (0.58-0.67 vs 0.8-1.05 Gpix/s), and oct's extra two merge levels
+    # cost more than the R/8 pack iterations they buy (0.86 vs quad 1.05).
     livecnt = jnp.sum(is_sym.astype(jnp.int32), axis=1, keepdims=True)
     last_k = jnp.max(kmat, axis=1, keepdims=True)
     # level-k group live counts / last units, valid at rows = 0 mod 2^k
     live_m = [livecnt]
     last_m = [last_k]
-    for stride in (1, 2, 4):
+    for stride in (1, 2):
         live_m.append(live_m[-1] + pltpu.roll(live_m[-1], R - stride, axis=0))
         last_m.append(
             jnp.maximum(last_m[-1], pltpu.roll(last_m[-1], R - stride, axis=0))
@@ -522,27 +514,18 @@ def _fused_kernel(
             jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= span
         )
 
-    def narrow_ok(k):
-        # group UNIT EXTENT (exact first -> last+digits) fits one tile
-        lead = (ridx1 & ((1 << k) - 1)) == 0
-        return (jnp.max(jnp.where(lead, live_m[k], 0)) <= 128) & (
-            jnp.max(jnp.where(lead, last_m[k] + 4 - first_vec, 0)) <= 128
-        )
-
-    mid_narrow_ok = jnp.max(last_k + 4 - first_vec) <= 128
     span_need = jnp.max(last_k + 4 - base_vec)
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
 
-    def pack_loop(span, row_step, narrow=False):
+    def pack_loop(span, row_step):
         u = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
 
         def one_row(r, planes, rr):
             base = scr_base[r, 0]
             ob = pl.multiple_of(base, 128)
-            org = scr_first[r, 0] if narrow else base
-            k = (scr_k[pl.ds(r, 1), :] - org).reshape(128, 1)
+            k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
             a = (k == u).astype(jnp.float32)  # one one-hot, all 4 digits
             w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
             out = jnp.dot(
@@ -555,23 +538,8 @@ def _fused_kernel(
                     + out[2 * j + 1 : 2 * j + 2],
                     j, axis=1,
                 )
-            if narrow:
-                # slide the 128-unit window to its slack offset inside the
-                # 256-unit aligned output window: 7 branch-free conditional
-                # rolls on the slack's bits (top half starts zero, slack
-                # <= 127, so wraps only recycle zeros)
-                slack = org - base
-                h = jnp.concatenate([h, jnp.zeros_like(h)], axis=1)
-                for b in range(7):
-                    h = jnp.where(
-                        ((slack >> b) & 1) == 1,
-                        pltpu.roll(h, 1 << b, axis=1), h,
-                    )
-                window = 2 * span
-            else:
-                window = span
-            cur = units_ref[0, :, pl.ds(ob, window)]
-            units_ref[0, :, pl.ds(ob, window)] = cur + h.astype(jnp.int32)
+            cur = units_ref[0, :, pl.ds(ob, span)]
+            units_ref[0, :, pl.ds(ob, span)] = cur + h.astype(jnp.int32)
 
         def body(r8, _):
             # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous
@@ -588,7 +556,7 @@ def _fused_kernel(
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
-    def merged_pack(k, span, narrow=False):
+    def merged_pack(k, span):
         # compact each row left, then merge k tree levels; group-leader
         # rows (0 mod 2^k) carry the merged symbols for the pack loop
         live_mask = lane < livecnt
@@ -601,12 +569,12 @@ def _fused_kernel(
         km, Tm, nTm, Xm, nXm = planes
         scr_k[:] = km
         write_digits(Tm, nTm, Xm, nXm)
-        pack_loop(span, 1 << k, narrow)
+        pack_loop(span, 1 << k)
 
-    def plain_pack(span, narrow=False):
+    def plain_pack(span):
         scr_k[:] = kmat
         write_digits(T, nT, X, nX)
-        pack_loop(span, 1, narrow)
+        pack_loop(span, 1)
 
     # Ladder in measured-cost order (see the tier comment above); each
     # branch fires iff no cheaper branch's condition held. The final rung
@@ -616,13 +584,8 @@ def _fused_kernel(
     # through to an all-zero pack while bits_ref reports a length.
     safe = _safe_span(mode, coded_runs, run_bits)
     ladder = [
-        (narrow_ok(3), functools.partial(merged_pack, 3, 128, True)),
-        (tier_ok(3, FAST_SPAN), functools.partial(merged_pack, 3, FAST_SPAN)),
-        (narrow_ok(2), functools.partial(merged_pack, 2, 128, True)),
         (tier_ok(2, FAST_SPAN), functools.partial(merged_pack, 2, FAST_SPAN)),
-        (narrow_ok(1), functools.partial(merged_pack, 1, 128, True)),
         (tier_ok(1, FAST_SPAN), functools.partial(merged_pack, 1, FAST_SPAN)),
-        (mid_narrow_ok, functools.partial(plain_pack, 128, True)),
         (tier_ok(1, WIDE_SPAN), functools.partial(merged_pack, 1, WIDE_SPAN)),
         (span_need <= FAST_SPAN, functools.partial(plain_pack, FAST_SPAN)),
         (span_need <= WIDE_SPAN, functools.partial(plain_pack, WIDE_SPAN)),
@@ -764,7 +727,6 @@ def encode_stripes_fused(
         pltpu.VMEM((R, 128), jnp.int32),
         pltpu.VMEM((8 * R, 128), jnp.float32),
         pltpu.VMEM((R, 1), jnp.int32),   # scr_base
-        pltpu.VMEM((R, 1), jnp.int32),   # scr_first
     ]
     if mode == "direct":
         scratch.append(pltpu.VMEM((3 * R, 128), jnp.int32))

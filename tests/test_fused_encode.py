@@ -366,13 +366,11 @@ def test_cold_tiers_match_staged(monkeypatch, quality, tier):
     """Direct byte-identity coverage of the ladder's COLD rungs.
 
     Tier choice is data-dependent inside the kernel, and ordinary
-    content always satisfies a cheaper rung first (the round-3 narrow
-    tiers made the old shrink-FAST_SPAN trick vacuous: mid-narrow is
-    first-unit-relative and captured every stripe before the wide
-    rungs). _LADDER_START drops the cheaper rungs at trace time; every
-    rung is correct for any content its own condition admits and
-    eligibility is monotone down the ladder, so this pins real
-    execution of pair-wide, mid, mid-wide, and the safe loop."""
+    content always satisfies a cheaper rung first. _LADDER_START drops
+    the cheaper rungs at trace time; every rung is correct for any
+    content its own condition admits and eligibility is monotone down
+    the ladder, so this pins real execution of pair-wide, mid,
+    mid-wide, and the safe loop."""
     from dct_tpu.ops import fused_encode_pallas as fep
 
     monkeypatch.setattr(fep, "_LADDER_START", fep._TIER_INDEX[tier])
