@@ -224,6 +224,8 @@ def _fused_kernel(
     len_ref/code_ref: (1, 1, 16) i32 SMEM — canonical category table
     rlen_ref/rcode_ref: (1, 1, 65) i32 SMEM — canonical run-code table
                (cfg.coded_runs; stubs when the fixed 8-bit field is used)
+    dtab_ref:  (640, 1) i32 VMEM — direct-mode packed value table
+               (len << 16 | code); zeros in other modes
     px_ref:    (1, R, 128) u8 — 2 blocks per row
     m0/m1/m2_ref: (128, 128) bf16 split operator parts; b_ref: (1, 128) f32
     scale_ref: (1, R, 2) f32 — adaptive quantize-divisor scale (ones if off)
@@ -376,10 +378,14 @@ def _fused_kernel(
     elif mode == "direct":
         # per-value canonical code over the [vmin, -vmin] alphabet + ESC
         # (512 entries in production: 511 values + ESC; the dtab bound is
-        # 640): the table cannot be gathered per-lane on v5e, so a
-        # per-row one-hot MXU contraction against the (640, 4) byte-plane
-        # table does it (scr_g: [idx | len | code] row groups). ESC symbols
-        # append the raw 16-bit value as the EXTRA field.
+        # 640): the table cannot be gathered per-lane on v5e, so each
+        # row's 128 lookups run as ONE masked sublane reduce against the
+        # lane-broadcast packed table (dtab: (640, 1) i32, len<<16|code).
+        # The round-3 form — per-row one-hot MXU matmul against a
+        # (640, 4) byte-plane table — paid three (1,128)<->(128,1)
+        # relayouts per row and measured 0.22 Gpix/s e2e vs category's
+        # 1.05 (benchmarks/dynamic_cost.py); this form keeps everything
+        # lane-major. ESC symbols append the raw 16-bit value as EXTRA.
         scr_g = extra_scr[0]
         shifted = v - vmin
         in_range = (shifted >= 0) & (shifted < n_alpha)
@@ -387,25 +393,21 @@ def _fused_kernel(
         scr_g[pl.ds(0, R), :] = jnp.where(
             in_range & is_sym, shifted, n_alpha
         )
-        u640 = jax.lax.broadcasted_iota(jnp.int32, (128, 640), 1)
+        sub640 = jax.lax.broadcasted_iota(jnp.int32, (640, 128), 0)
+        tab = jax.lax.broadcast_in_dim(dtab_ref[:], (640, 128), (0, 1))
 
         def gbody(r, _):
-            idv = scr_g[pl.ds(r, 1), :].reshape(128, 1)
-            oh = (idv == u640).astype(jnp.float32)
-            gt = jnp.dot(
-                oh, dtab_ref[:], preferred_element_type=jnp.float32
-            )  # (128, 4): [len, code_hi, code_lo, 0] — exact (bytes)
-            lrow = gt[:, 0:1].astype(jnp.int32).reshape(1, 128)
-            crow = (gt[:, 1:2] * 256.0 + gt[:, 2:3]).astype(
-                jnp.int32
-            ).reshape(1, 128)
-            scr_g[pl.ds(R + r, 1), :] = lrow
-            scr_g[pl.ds(2 * R + r, 1), :] = crow
+            idv = scr_g[pl.ds(r, 1), :]  # (1, 128) lane-major
+            g = jnp.sum(
+                jnp.where(sub640 == idv, tab, 0), axis=0, keepdims=True
+            )  # (1, 128): len<<16 | code
+            scr_g[pl.ds(R + r, 1), :] = g
             return 0
 
         jax.lax.fori_loop(0, R, gbody, 0)
-        la = jnp.where(is_sym, scr_g[pl.ds(R, R), :], 0)
-        ca = jnp.where(is_sym, scr_g[pl.ds(2 * R, R), :], 0)
+        packed_lc = scr_g[pl.ds(R, R), :]
+        la = jnp.where(is_sym, packed_lc >> 16, 0)
+        ca = jnp.where(is_sym, packed_lc & 0xFFFF, 0)
         lb = jnp.where(esc, 16, 0)
         bv = jnp.where(esc, v & 0xFFFF, 0)
     else:  # none: raw 16-bit two's-complement value, no code table
@@ -683,23 +685,21 @@ def encode_stripes_fused(
 
     n_alpha = 0
     if mode == "direct":
-        # (640, 4) f32 byte-plane table [len, code_hi, code_lo, 0] for the
-        # in-kernel one-hot MXU gather; alphabet = 511 values + ESC
+        # (640, 1) i32 packed table len<<16 | code for the in-kernel
+        # masked-reduce gather; alphabet = 511 values + ESC
         n_alpha = int(cat_lengths.shape[0]) - 1
-        dtab = jnp.zeros((640, 4), jnp.float32)
-        dl = cat_lengths.astype(jnp.float32)
+        dl = cat_lengths.astype(jnp.int32)
         dc_ = cat_codes.astype(jnp.int32)
-        dtab = dtab.at[: n_alpha + 1, 0].set(dl)
-        dtab = dtab.at[: n_alpha + 1, 1].set(((dc_ >> 8) & 255).astype(jnp.float32))
-        dtab = dtab.at[: n_alpha + 1, 2].set((dc_ & 255).astype(jnp.float32))
+        dtab = jnp.zeros((640, 1), jnp.int32)
+        dtab = dtab.at[: n_alpha + 1, 0].set((dl << 16) | (dc_ & 0xFFFF))
         lens3 = jnp.zeros((1, 1, 16), jnp.int32)
         codes3 = jnp.zeros((1, 1, 16), jnp.int32)
     elif mode == "category":
-        dtab = jnp.zeros((640, 4), jnp.float32)
+        dtab = jnp.zeros((640, 1), jnp.int32)
         lens3 = cat_lengths.astype(jnp.int32).reshape(1, 1, -1)
         codes3 = cat_codes.astype(jnp.int32).reshape(1, 1, -1)
     else:  # none
-        dtab = jnp.zeros((640, 4), jnp.float32)
+        dtab = jnp.zeros((640, 1), jnp.int32)
         lens3 = jnp.zeros((1, 1, 16), jnp.int32)
         codes3 = jnp.zeros((1, 1, 16), jnp.int32)
     if cfg.coded_runs:
@@ -729,7 +729,7 @@ def encode_stripes_fused(
         pltpu.VMEM((R, 1), jnp.int32),   # scr_base
     ]
     if mode == "direct":
-        scratch.append(pltpu.VMEM((3 * R, 128), jnp.int32))
+        scratch.append(pltpu.VMEM((2 * R, 128), jnp.int32))
     units, bits, tiers = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
@@ -738,7 +738,7 @@ def encode_stripes_fused(
             pl.BlockSpec((1, 1, 16), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 65), lambda i: (0, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((640, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((640, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, R, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(em0.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
