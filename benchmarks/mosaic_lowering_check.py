@@ -18,6 +18,7 @@ Exit 0 when every matrix cell lowers; prints one line per case.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 
@@ -179,6 +180,58 @@ def transform_kernel_cases() -> list[tuple[str, str] | None]:
     return results
 
 
+def entropy_decode_cases() -> list[tuple[str, str] | None]:
+    """The device entropy decoder (ops/entropy_decode_pallas.py): every
+    mode x run-field combination plus the block-size extremes. The
+    while_loop + per-lane roll distribute are the novel Mosaic surface
+    here — exactly the constructs the interpret-mode tests can't vet."""
+    from dct_tpu.ops import bitstream as bs
+    from dct_tpu.ops import entropy_decode_pallas as edp
+
+    results = []
+    cases = [
+        (8, "category", False),
+        (8, "category", True),
+        (8, "direct", True),
+        (8, "none", False),
+        (4, "category", False),
+        (16, "category", False),
+    ]
+    for n, mode, runs in cases:
+        n2 = n * n
+        n_stripes, bps = 3, 20
+        rng = np.random.default_rng(n)
+        # shape-representative inputs: geometry/tables drive the trace,
+        # stream CONTENT does not (fixed worst-case loop structure)
+        bb = rng.integers(8, 64, (n_stripes, bps)).astype(np.int64)
+        units = np.zeros((n_stripes, 1024), np.int32)
+        if mode == "direct":
+            t = hf.CanonicalTable.from_frequencies(np.ones(512, np.int64))
+            vmin = codec.DIRECT_VMIN
+        elif mode == "category":
+            t = hf.default_category_table(50)
+            vmin = 0
+        else:
+            t, vmin = None, 0
+        rt = hf.default_run_table(50) if runs else None
+
+        rtag = "+runs" if runs else ""
+        case = f"entropy decode N={n} mode={mode}{rtag}"
+        # decode_args is HOST prep (concrete geometry/tables); only
+        # decode_call is traced — mirror the production split
+        prep = edp.decode_args(
+            units, bb, n_stripes, n2, mode, t, vmin=vmin,
+            run_table=rt, run_bits=bs.run_field_bits(n2),
+        )
+        if prep is None:
+            results.append((case, "decode_args declined a supported table"))
+            continue
+        arrays, statics = prep
+        fn = functools.partial(edp.decode_call, **statics)
+        results.append(_try_lower(case, fn, *arrays))
+    return results
+
+
 def sharded_cases() -> list[tuple[str, str] | None]:
     """shard_map'd Pallas steps (the round-3 check_vma crash class): the
     sharded static encode, the dp x sp batch step, and the sharded
@@ -229,7 +282,9 @@ def main() -> int:
                 n += 1
                 if r is not None:
                     failures.append(r)
-    extra = transform_kernel_cases() + sharded_cases()
+    extra = (
+        transform_kernel_cases() + entropy_decode_cases() + sharded_cases()
+    )
     n += len(extra)
     failures += [r for r in extra if r is not None]
     for case, err in failures:

@@ -40,6 +40,10 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
                    help="color mode (default: gray for 2D input, 420 for RGB)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU)")
+    p.add_argument("--decode-index", action="store_true",
+                   help="store per-block bit lengths (container v2, "
+                        "~2 B/block) so decode's entropy stage can run "
+                        "on-device (decode-to-device)")
     p.add_argument("--compat-b1", action="store_true",
                    help="reproduce reference dequant bug B1")
 
@@ -60,6 +64,7 @@ def _config_from_args(args, color: bool):
         stripe_rows=args.stripe_rows,
         chroma=chroma,
         use_pallas=args.pallas,
+        decode_index=args.decode_index,
         compat_b1=args.compat_b1,
     )
 
@@ -160,6 +165,7 @@ def cmd_info(args) -> int:
         "dc_prediction": cfg.dc_prediction,
         "chroma": cfg.chroma,
         "stripe_rows": cfg.stripe_rows,
+        "decode_index": cfg.decode_index,
         "planes": [
             {
                 "width": p.width,

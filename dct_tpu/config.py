@@ -74,6 +74,14 @@ class CodecConfig:
         parallelism; the serialized container stores one byte-aligned
         substream per stripe, so output bits are identical for any device
         mesh (SURVEY.md section 5.8).
+      decode_index: store per-BLOCK bit lengths in the container (u16 per
+        block, container v2) — the restart-marker analog that makes every
+        block an independently addressable substream. Costs ~2 B/block
+        (~3-5%% of a q50 payload) and unlocks the DEVICE entropy decoder
+        (ops/entropy_decode_pallas.py): with per-block offsets, 128 blocks
+        decode in lane-parallel per Pallas grid cell instead of the
+        host's serial per-symbol loop, so decode_to_device never leaves
+        the chip. Off by default = v1 wire format, host decode.
       dtype: compute dtype for the transform matmuls. float32 keeps the
         quantized integer outputs exact w.r.t. the float64 C oracle for all
         8-bit inputs (verified by tests/test_parity.py).
@@ -91,6 +99,7 @@ class CodecConfig:
     compat_b1: bool = False
     chroma: ChromaMode = "gray"
     stripe_rows: int = 1
+    decode_index: bool = False
     dtype: str = "float32"
 
     def __post_init__(self):

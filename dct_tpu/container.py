@@ -13,9 +13,9 @@ substream with its own recorded bit length, so
 
 Layout (little-endian):
 
-  header (20 B):
+  header (20 B; version 2 appends 1 B):
     0  magic   b"TPDC"
-    4  version u8 (= 1)
+    4  version u8 (1, or 2 when extension flags are present)
     5  flags   u8: bit0 adaptive, bit1 use_huffman,
                    bits2-3 huffman_mode (0 category, 1 direct, 2 none),
                    bit4 compat_b1, bit5 static_tables, bit6 coded_runs,
@@ -27,6 +27,7 @@ Layout (little-endian):
     16 n_planes   u8
     17 chroma     u8 (0 gray, 1 4:4:4, 2 4:2:0)
     18 stripe_rows u16
+    [version >= 2] 20 flags2 u8: bit0 decode_index
 
   per plane:
     plane_w u32, plane_h u32, n_stripes u32
@@ -38,6 +39,13 @@ Layout (little-endian):
     coded_runs only: 65 x u8 canonical run-code lengths (runs 0..64)
     adaptive only: bh*bw x u8 per-block variance codes (padded grid dims)
     n_stripes x u32 stripe bit lengths
+    decode_index only: n_stripes*blocks_per_stripe x u16 per-block bit
+      lengths (stripe-linear block order; each stripe's sum must equal its
+      stripe_bits entry — validated on read). The restart-marker analog
+      (the reference has no bitstream at all, SURVEY.md B2): it makes
+      every block an independently addressable substream, which is what
+      the device entropy decoder parallelizes over
+      (ops/entropy_decode_pallas.py).
     payload: concatenation of byte-aligned stripe substreams
 """
 
@@ -52,6 +60,7 @@ from dct_tpu.config import CodecConfig
 
 MAGIC = b"TPDC"
 VERSION = 1
+VERSION_EXT = 2  # adds the flags2 byte (bit0: decode_index)
 
 _HUFFMAN_MODES = ("category", "direct", "none")
 _CHROMA_MODES = ("gray", "444", "420")
@@ -69,6 +78,9 @@ class PlaneData:
     run_table_lengths: np.ndarray | None = None  # coded_runs only, 65 x u8
     # (canonical code length for each run 0..64 — 64 is the all-zero-block
     # terminal symbol, see ops/rle.py)
+    block_bits: np.ndarray | None = None  # decode_index only:
+    # (n_stripes * blocks_per_stripe,) u16 per-block bit lengths in
+    # stripe-linear block order
 
 
 @dataclasses.dataclass
@@ -97,7 +109,7 @@ def serialize(c: Container) -> bytes:
     out += MAGIC
     out += struct.pack(
         "<BBBBIIBBH",
-        VERSION,
+        VERSION_EXT if cfg.decode_index else VERSION,
         _pack_flags(cfg),
         cfg.block_size,
         cfg.quality,
@@ -107,6 +119,8 @@ def serialize(c: Container) -> bytes:
         _CHROMA_MODES.index(cfg.chroma),
         cfg.stripe_rows,
     )
+    if cfg.decode_index:
+        out += struct.pack("<B", 1)  # flags2: bit0 decode_index
     for p in c.planes:
         out += struct.pack("<III", p.width, p.height, len(p.stripes))
         mode = cfg.huffman_mode if cfg.use_huffman else "none"
@@ -133,6 +147,22 @@ def serialize(c: Container) -> bytes:
         if cfg.adaptive:
             out += bytes(np.asarray(p.variance_codes, np.uint8))
         out += np.asarray(p.stripe_bits, "<u4").tobytes()
+        if cfg.decode_index:
+            bb = np.asarray(p.block_bits, np.int64)
+            n_stripes = len(p.stripes)
+            if bb.size % n_stripes:
+                raise ValueError(
+                    f"decode index size {bb.size} not divisible by "
+                    f"{n_stripes} stripes"
+                )
+            per = bb.reshape(n_stripes, -1).sum(axis=1)
+            if not np.array_equal(per, np.asarray(p.stripe_bits, np.int64)):
+                raise ValueError(
+                    "decode index stripe sums disagree with stripe_bits"
+                )
+            if bb.max(initial=0) > 0xFFFF or bb.min(initial=0) < 0:
+                raise ValueError("per-block bit length outside u16")
+            out += bb.astype("<u2").tobytes()
         for s in p.stripes:
             out += s
     return bytes(out)
@@ -160,8 +190,16 @@ def _deserialize(data: bytes) -> Container:
         chroma_idx,
         stripe_rows,
     ) = struct.unpack_from("<BBBBIIBBH", data, 4)
-    if version != VERSION:
+    if version not in (VERSION, VERSION_EXT):
         raise ValueError(f"unsupported container version {version}")
+    flags2 = 0
+    header_end = 20
+    if version >= VERSION_EXT:
+        (flags2,) = struct.unpack_from("<B", data, 20)
+        header_end = 21
+        if flags2 & ~1:
+            raise ValueError(f"unknown extension flags 0x{flags2:02x}")
+    decode_index = bool(flags2 & 1)
     # validate enum/structural header fields BEFORE using them — corrupt
     # values must surface as the uniform ValueError, not ZeroDivisionError
     # (stripe_rows=0) or IndexError (mode indexes)
@@ -192,8 +230,9 @@ def _deserialize(data: bytes) -> Container:
         dc_prediction=bool((flags >> 7) & 1),
         chroma=_CHROMA_MODES[chroma_idx],
         stripe_rows=stripe_rows,
+        decode_index=decode_index,
     )
-    off = 20
+    off = header_end
     planes = []
     n = block_size
     for _ in range(n_planes):
@@ -236,6 +275,24 @@ def _deserialize(data: bytes) -> Container:
             off += bh * bw
         stripe_bits = np.frombuffer(data, "<u4", n_stripes, off).copy()
         off += 4 * n_stripes
+        block_bits = None
+        if decode_index:
+            bh = -(-ph // n)
+            bh = -(-bh // stripe_rows) * stripe_rows
+            bw = -(-pw // n)
+            bps = stripe_rows * bw  # blocks per stripe (padded grid)
+            block_bits = np.frombuffer(
+                data, "<u2", n_stripes * bps, off
+            ).copy()
+            off += 2 * n_stripes * bps
+            per = block_bits.astype(np.int64).reshape(n_stripes, bps).sum(1)
+            if not np.array_equal(per, stripe_bits.astype(np.int64)):
+                # a hostile/corrupt index would misaddress every block the
+                # device decoder touches — reject up front, like the other
+                # geometry checks
+                raise ValueError(
+                    "decode index stripe sums disagree with stripe_bits"
+                )
         stripes = []
         for s in range(n_stripes):
             nbytes = int((int(stripe_bits[s]) + 7) // 8)
@@ -256,6 +313,7 @@ def _deserialize(data: bytes) -> Container:
                 variance_codes=var_codes,
                 stripe_bits=stripe_bits,
                 stripes=stripes,
+                block_bits=block_bits,
             )
         )
     return Container(config=cfg, width=width, height=height, planes=planes)

@@ -166,7 +166,9 @@ def symbol_chunks_for(
     return bs.symbol_chunks(symbols, mode, **rkw)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_stripes", "return_block_bits")
+)
 def encode_pack(
     symbols: rle.RLEBlocks,
     cfg: CodecConfig,
@@ -175,8 +177,13 @@ def encode_pack(
     codes: jax.Array,
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
+    return_block_bits: bool = False,
 ):
-    """Stage 2 on device: symbols + canonical table -> packed stripe units."""
+    """Stage 2 on device: symbols + canonical table -> packed stripe units.
+
+    return_block_bits: also return (n_stripes, bps) per-block bit lengths
+    (cfg.decode_index) — the chunk-length sums per block, integer-exact
+    against the fused kernel's bbits output (tested)."""
     if cfg.coded_runs and run_lengths is None:
         raise ValueError("coded_runs requires a run table")
     cv, cl = symbol_chunks_for(
@@ -184,15 +191,18 @@ def encode_pack(
     )
     nb = symbols.values.shape[0]
     bps = nb // n_stripes  # blocks per stripe (static)
+    block_bits = jnp.sum(cl, axis=(1, 2)).reshape(n_stripes, bps)
     cv = cv.reshape(n_stripes, bps * cv.shape[1], 3)
     cl = cl.reshape(n_stripes, bps * cl.shape[1], 3)
     capacity = bps * bs.units_per_block_worst(cfg.n2, cfg.coded_runs)
     if jax.default_backend() == "tpu":
         from dct_tpu.ops.pack_pallas import pack_chunks_pallas
 
-        return pack_chunks_pallas(cv, cl, capacity)
-    # CPU/other backends: XLA scatter packer (fast enough off-TPU)
-    return bs.pack_chunks(cv, cl, capacity)
+        packed = pack_chunks_pallas(cv, cl, capacity)
+    else:
+        # CPU/other backends: XLA scatter packer (fast enough off-TPU)
+        packed = bs.pack_chunks(cv, cl, capacity)
+    return (packed, block_bits) if return_block_bits else packed
 
 
 def _build_table(cfg: CodecConfig, hist: np.ndarray) -> hf.CanonicalTable | None:
@@ -253,7 +263,10 @@ def encode_fused_step(
 ):
     """Single-kernel encode: padded plane + canonical table(s) -> packed
     stripes (ops/fused_encode_pallas.py). Byte-identical to the staged
-    pipeline; HBM sees only pixels in and units out."""
+    pipeline; HBM sees only pixels in and units out.
+
+    Returns (packed, var_codes), plus (n_stripes, bps) per-block bit
+    lengths when cfg.decode_index."""
     from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
 
     pixels = blk.image_to_blocks(image, cfg.block_size)
@@ -264,13 +277,17 @@ def encode_fused_step(
         var_codes = quant.variance_code(var)
         scale = quant.scale_from_variance_code(var_codes)
     mode = cfg.huffman_mode if cfg.use_huffman else "none"
-    packed = encode_stripes_fused(
+    out = encode_stripes_fused(
         pixels, cfg, n_stripes, lengths, codes,
         adaptive_scale=scale, chroma=chroma,
         run_lengths=run_lengths, run_codes=run_codes,
         vmin=DIRECT_VMIN if mode == "direct" else 0,
+        return_block_bits=cfg.decode_index,
     )
-    return packed, var_codes
+    if cfg.decode_index:
+        packed, block_bits = out
+        return packed, var_codes, block_bits
+    return out, var_codes
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes", "chroma"))
@@ -278,8 +295,9 @@ def encode_step(
     image: jax.Array, cfg: CodecConfig, n_stripes: int, chroma: bool = False
 ):
     """Single-dispatch full encode (static-table mode): padded plane ->
-    (PackedStripes, var_codes). Fully jittable end to end — no host sync —
-    hence directly shardable over a device mesh (parallel/shard_encode.py)
+    (PackedStripes, var_codes), plus per-block bit lengths when
+    cfg.decode_index. Fully jittable end to end — no host sync — hence
+    directly shardable over a device mesh (parallel/shard_encode.py)
     and the unit the driver's entry()/dryrun exercises.
     """
     if not cfg.static_tables:
@@ -307,10 +325,14 @@ def encode_step(
     if cfg.dc_prediction:
         zz = dc_predict(zz, n_stripes)
     symbols = rle.rle_encode_positional(zz)
-    packed = encode_pack(
-        symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+    out = encode_pack(
+        symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes,
+        return_block_bits=cfg.decode_index,
     )
-    return packed, var_codes
+    if cfg.decode_index:
+        packed, block_bits = out
+        return packed, var_codes, block_bits
+    return out, var_codes
 
 
 def pad_plane_for_encode(plane, cfg: CodecConfig) -> jax.Array:
@@ -339,10 +361,15 @@ def encode_plane(
     _, _, n_stripes = _padded_grid(h, w, cfg)
     img = pad_plane_for_encode(plane, cfg)
 
+    block_bits = None
     if cfg.static_tables:
         table = _build_table(cfg, None)
         run_table = _build_run_table(cfg, None)
-        packed, var_codes = encode_step(img, cfg, n_stripes, chroma=chroma)
+        res = encode_step(img, cfg, n_stripes, chroma=chroma)
+        if cfg.decode_index:
+            packed, var_codes, block_bits = res
+        else:
+            packed, var_codes = res
     else:
         symbols, var_codes, hist, run_hist = encode_analyze(
             img, cfg, chroma=chroma
@@ -357,14 +384,23 @@ def encode_plane(
         if _fused_kernel_ok(cfg):
             # second dispatch re-runs transform+RLE inside the fused kernel
             # with the real tables — still cheaper than the staged pack
-            packed, var_codes = encode_fused_step(
+            res = encode_fused_step(
                 img, cfg, n_stripes, lengths, codes, chroma,
                 run_lengths, run_codes,
             )
+            if cfg.decode_index:
+                packed, var_codes, block_bits = res
+            else:
+                packed, var_codes = res
         else:
-            packed = encode_pack(
-                symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+            res = encode_pack(
+                symbols, cfg, n_stripes, lengths, codes, run_lengths,
+                run_codes, return_block_bits=cfg.decode_index,
             )
+            if cfg.decode_index:
+                packed, block_bits = res
+            else:
+                packed = res
     packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
     stripes = bs.stripes_to_bytes(packed)
     return cont.PlaneData(
@@ -378,7 +414,101 @@ def encode_plane(
         run_table_lengths=(
             run_table.lengths if run_table is not None else None
         ),
+        block_bits=(
+            np.asarray(block_bits).reshape(-1).astype(np.uint16)
+            if block_bits is not None else None
+        ),
     )
+
+
+# Trace-time test hook: run the DEVICE entropy decoder on non-TPU
+# backends too (interpret mode) so the CPU suite covers the on-device
+# path end to end. NEVER set outside tests.
+_FORCE_DEVICE_DECODE = False
+
+
+def _device_decode_ok(p: cont.PlaneData, cfg: CodecConfig) -> bool:
+    """Whether decode can run its entropy stage ON DEVICE: the container
+    carries the per-block decode index (v2), the Pallas path is wanted,
+    and the backend is a TPU (or the test hook forces interpret mode)."""
+    return (
+        p.block_bits is not None
+        and cfg.use_pallas
+        and cfg.block_size in (2, 4, 8, 16)
+        and (jax.default_backend() == "tpu" or _FORCE_DEVICE_DECODE)
+    )
+
+
+def _device_decode_prep(
+    p: cont.PlaneData,
+    cfg: CodecConfig,
+    table,
+    mode: str,
+    n_stripes: int,
+    bps: int,
+    run_table=None,
+):
+    """Host prep for the device entropy decode: the stripes' unit arrays
+    + ops/entropy_decode_pallas.decode_args. None -> host decoder."""
+    from dct_tpu.ops import entropy_decode_pallas as edp
+
+    n2 = cfg.n2
+    u_per = [(len(s) + 1) // 2 for s in p.stripes]
+    u_max = max(1, -(-max(u_per) // 1024) * 1024)  # bucket compile shapes
+    units = np.zeros((n_stripes, u_max), np.int32)
+    for s, data in enumerate(p.stripes):
+        if len(data) % 2:
+            data = data + b"\x00"
+        units[s, : len(data) // 2] = np.frombuffer(data, ">u2").astype(
+            np.int32
+        )
+    return edp.decode_args(
+        units,
+        np.asarray(p.block_bits, np.int64).reshape(n_stripes, bps),
+        n_stripes,
+        n2,
+        mode,
+        table,
+        vmin=DIRECT_VMIN,
+        run_table=run_table,
+        run_bits=bs.run_field_bits(n2),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chroma", "edp_statics", "bh", "bw", "n_stripes",
+        "height", "width",
+    ),
+)
+def _device_decode_plane_step(
+    arrays,
+    var_codes,
+    cfg: CodecConfig,
+    chroma: bool,
+    edp_statics,
+    bh: int,
+    bw: int,
+    n_stripes: int,
+    height: int,
+    width: int,
+):
+    """The WHOLE indexed decode as one jitted step (one tunnel dispatch):
+    device entropy decode -> DC un-prediction -> dequant+IDCT -> image
+    assembly -> crop. Pixels never leave the device."""
+    from dct_tpu.ops import entropy_decode_pallas as edp
+
+    zz = edp.decode_call(*arrays, **dict(edp_statics))
+    if cfg.dc_prediction:
+        zz = dc_reconstruct(zz, n_stripes)
+    scale = None
+    if cfg.adaptive:
+        scale = quant.scale_from_variance_code(var_codes)
+    pixels = _fused_decode(zz, cfg, scale, chroma)
+    n = cfg.block_size
+    img = blk.blocks_to_image(pixels, bh * n, bw * n, n)
+    return img[:height, :width]
 
 
 def decode_plane_device(
@@ -386,11 +516,14 @@ def decode_plane_device(
 ) -> jax.Array:
     """PlaneData -> reconstructed u8 plane as a DEVICE array.
 
-    The TPU-native consumer path: host entropy decode feeds the fused
-    dequant+IDCT on device and the pixels STAY on device — for pipelines
-    whose next stage is on-chip (e.g. decoded frames feeding a model),
-    skipping the device->host transfer that dominates tunnel-attached
-    decode timing (benchmarks/decode.py)."""
+    The TPU-native consumer path. With a decode index in the container
+    (cfg.decode_index, container v2) the entropy stage runs ON DEVICE
+    (ops/entropy_decode_pallas.py) and nothing but the container bytes
+    ever crosses the host link; otherwise the host entropy decode feeds
+    the fused dequant+IDCT on device. Either way the pixels STAY on
+    device — for pipelines whose next stage is on-chip (e.g. decoded
+    frames feeding a model), skipping the device->host transfer that
+    dominates tunnel-attached decode timing (benchmarks/decode.py)."""
     n = cfg.block_size
     bh, bw, n_stripes = _padded_grid(p.height, p.width, cfg)
     bps = (bh // n_stripes) * bw  # blocks per stripe
@@ -400,6 +533,24 @@ def decode_plane_device(
     run_table = (
         hf.CanonicalTable(p.run_table_lengths) if cfg.coded_runs else None
     )
+
+    if _device_decode_ok(p, cfg):
+        prep = _device_decode_prep(
+            p, cfg, table, mode, n_stripes, bps, run_table
+        )
+        if prep is not None:
+            arrays, statics = prep
+            vc = (
+                jnp.asarray(p.variance_codes)
+                if cfg.adaptive else jnp.zeros(1, jnp.uint8)
+            )
+            return _device_decode_plane_step(
+                arrays, vc,
+                cfg=cfg, chroma=chroma,
+                edp_statics=tuple(sorted(statics.items())),
+                bh=bh, bw=bw, n_stripes=n_stripes,
+                height=p.height, width=p.width,
+            )
 
     zz = _decode_stripes(p, cfg, table, mode, n_stripes, bps, run_table)
     if cfg.dc_prediction:

@@ -194,6 +194,16 @@ def _plane_size(
         run_table_lengths=(
             run_table.lengths if run_table is not None else None
         ),
+        block_bits=(
+            # the decode index is 2 B/block of size-invariant header cost;
+            # an all-zero index keeps the skeleton serializable (zero
+            # stripe sums) while charging the probe the exact overhead
+            np.zeros(
+                n_stripes * cfg.stripe_rows * (-(-w // cfg.block_size)),
+                np.uint16,
+            )
+            if cfg.decode_index else None
+        ),
     )
     return bits, skeleton
 
@@ -351,6 +361,11 @@ def _plane_batch_bits(
         stripes=[b""] * n_stripes,
         run_table_lengths=(
             run_table.lengths if run_table is not None else None
+        ),
+        block_bits=(
+            # size-invariant index overhead (see the image-path skeleton)
+            np.zeros(n_stripes * cfg.stripe_rows * bw, np.uint16)
+            if cfg.decode_index else None
         ),
     )
     return np.concatenate(bits, axis=0), skeleton

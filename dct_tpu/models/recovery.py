@@ -153,10 +153,14 @@ def _encode_one_stripe(
         run_lengths, run_codes = codec._table_arrays(run_table)
     else:
         run_lengths = run_codes = None
-    packed = codec.encode_pack(
-        symbols, cfg, 1, lengths, codes, run_lengths, run_codes
+    out = codec.encode_pack(
+        symbols, cfg, 1, lengths, codes, run_lengths, run_codes,
+        return_block_bits=cfg.decode_index,
     )
-    return packed, var_codes
+    if cfg.decode_index:
+        packed, block_bits = out
+        return packed, var_codes, block_bits
+    return out, var_codes, None
 
 
 def _repair_plane(
@@ -182,16 +186,24 @@ def _repair_plane(
     var_codes = (
         np.asarray(p.variance_codes, np.uint8).copy() if cfg.adaptive else None
     )
+    block_bits = (
+        np.asarray(p.block_bits, np.uint16).copy()
+        if p.block_bits is not None else None
+    )
     for s in stripes:
         if not 0 <= s < n_stripes:
             raise ValueError(f"stripe {s} out of range (n_stripes={n_stripes})")
         rows = img[s * rows_per_stripe : (s + 1) * rows_per_stripe]
-        packed, vc = _encode_one_stripe(rows, cfg, table, run_table, chroma)
+        packed, vc, bb = _encode_one_stripe(rows, cfg, table, run_table, chroma)
         packed = bs.fetch_packed(packed)  # trim worst-case slack, as encode
         new_stripes[s] = bs.stripes_to_bytes(packed)[0]
         stripe_bits[s] = int(packed.bit_lengths[0])
         if cfg.adaptive:
             var_codes[s * bps : (s + 1) * bps] = np.asarray(vc, np.uint8)
+        if block_bits is not None:
+            block_bits[s * bps : (s + 1) * bps] = np.asarray(
+                bb, np.int64
+            ).reshape(-1).astype(np.uint16)
 
     return cont.PlaneData(
         width=p.width,
@@ -202,6 +214,7 @@ def _repair_plane(
         stripe_bits=stripe_bits,
         stripes=new_stripes,
         run_table_lengths=p.run_table_lengths,
+        block_bits=block_bits,
     )
 
 

@@ -197,6 +197,11 @@ class VideoCodec:
     def encode(self, frames: np.ndarray) -> list[bytes]:
         cfg = self.config
         ck = self.chunk_frames
+        if cfg.decode_index:
+            raise ValueError(
+                "decode_index is not yet supported on the batched video "
+                "path; encode frames individually for indexed containers"
+            )
         if cfg.chroma == "gray":
             if frames.ndim != 3:
                 raise ValueError(f"expected (F, H, W), got {frames.shape}")

@@ -213,7 +213,7 @@ def _round_half_away_i32(x):
 def _fused_kernel(
     len_ref, code_ref, rlen_ref, rcode_ref, dtab_ref, px_ref,
     m0_ref, m1_ref, m2_ref, b_ref, scale_ref,
-    units_ref, bits_ref, tier_ref, scr_k, scr_d, scr_base,
+    units_ref, bits_ref, tier_ref, bbits_ref, scr_k, scr_d, scr_base,
     *extra_scr,
     n_live_blocks: int, adaptive: bool, run_bits: int, coded_runs: bool,
     dc_prediction: bool, n2: int = 64, mode: str = "category",
@@ -234,6 +234,10 @@ def _fused_kernel(
                stripe actually took (-1 under _SKIP_PACK); drives the
                tier-distribution reporting in benchmarks/tier_ab.py and
                tier_sweep.py at the cost of one scalar store per stripe
+    bbits_ref: (1, R, bpr) i32 — per-(row, block-in-row) bit lengths
+               (per-row for n2=256; the wrapper folds row pairs). Feeds
+               cfg.decode_index, the per-block restart index the device
+               entropy decoder parallelizes over; pad blocks emit 0
     scr_k:     (R, 128) i32 — per-symbol first unit index (off >> 4)
     scr_d:     (8R, 128) f32 — hi/lo bytes of the 4 frame digits,
                plane-major [d0hi|d0lo|d1hi|d1lo|...] (f32 storage: Mosaic
@@ -449,6 +453,27 @@ def _fused_kernel(
     rp_ex = rp - rt  # exclusive bit base of row's first symbol
     bits_ref[0, 0, 0] = jnp.max(rp)
 
+    # per-block bit lengths (cfg.decode_index): cumulative bits through
+    # row-block j = pi at the block's LAST lane; adjacent differences give
+    # the per-block split. For n2=256 a block spans two rows, so emit
+    # per-row bits and let the wrapper fold pairs.
+    if n2 == 256:
+        bbits_ref[0, :, :] = rt
+    else:
+        bpr_k = 128 // n2
+        prev = jnp.zeros((R, 1), jnp.int32)
+        cols = []
+        for j in range(bpr_k):
+            cum = jnp.sum(
+                jnp.where(lane == (j + 1) * n2 - 1, pi, 0),
+                axis=1, keepdims=True,
+            )
+            cols.append(cum - prev)
+            prev = cum
+        bbits_ref[0, :, :] = (
+            cols[0] if bpr_k == 1 else jnp.concatenate(cols, axis=1)
+        )
+
     off = rp_ex + (pi - t3)  # bit offset of the symbol's fused window
 
     # ---- fused window digits ----------------------------------------------
@@ -620,7 +645,8 @@ def encode_stripes_fused(
     run_codes: jax.Array | None = None,
     vmin: int = 0,
     return_tiers: bool = False,
-) -> PackedStripes | tuple[PackedStripes, jax.Array]:
+    return_block_bits: bool = False,
+) -> PackedStripes | tuple:
     """(NB, n2) u8 blocks -> packed stripes, entirely on device.
 
     Semantically identical (byte-identical streams) to
@@ -730,7 +756,8 @@ def encode_stripes_fused(
     ]
     if mode == "direct":
         scratch.append(pltpu.VMEM((2 * R, 128), jnp.int32))
-    units, bits, tiers = pl.pallas_call(
+    bbits_cols = 1 if n2 == 256 else bpr
+    units, bits, tiers, bbits = pl.pallas_call(
         kernel,
         grid=(n_stripes,),
         in_specs=[
@@ -750,11 +777,13 @@ def encode_stripes_fused(
             pl.BlockSpec((1, 1, U_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, R, bbits_cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_stripes, 1, U_pad), jnp.int32),
             jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
             jax.ShapeDtypeStruct((n_stripes, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_stripes, R, bbits_cols), jnp.int32),
         ),
         scratch_shapes=scratch,
         interpret=_interpret(),
@@ -773,4 +802,13 @@ def encode_stripes_fused(
         units=units[:, 0, :units_capacity].astype(jnp.uint16),
         bit_lengths=bits[:, 0, 0],
     )
-    return (packed, tiers[:, 0, 0]) if return_tiers else packed
+    out = [packed]
+    if return_tiers:
+        out.append(tiers[:, 0, 0])
+    if return_block_bits:
+        if n2 == 256:  # fold the per-row halves back into per-block bits
+            bb = bbits.reshape(n_stripes, R // 2, 2).sum(-1)
+        else:
+            bb = bbits.reshape(n_stripes, R * bpr)
+        out.append(bb[:, :bps])
+    return out[0] if len(out) == 1 else tuple(out)

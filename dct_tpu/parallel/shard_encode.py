@@ -134,6 +134,13 @@ def encode_plane_sharded(
     chrominance quant table (color containers' Cb/Cr planes)."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
     n = cfg.block_size
+    if cfg.decode_index:
+        # per-block bit lengths are stripe-local (no collective needed) but
+        # the sharded assembly below does not gather them yet — reject
+        # loudly rather than emit a v2 container with a missing index
+        raise ValueError(
+            "decode_index is not yet supported on the sharded encode path"
+        )
     bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
     bh_real = bh  # block rows before mesh padding (histogram masking)
