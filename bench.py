@@ -227,7 +227,7 @@ def main() -> None:
     # decode_host_value: the host entropy-decode half, which on any
     # direct-attached (PCIe) host is the bound — the device dequant+IDCT
     # half runs at 46-100 Gpix/s (benchmarks/decode.py).
-    def measure_decode() -> tuple[float, float]:
+    def measure_decode() -> tuple[float, float, float]:
         from dct_tpu import container as cont
 
         datas = [
@@ -251,6 +251,35 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         e2e = FRAMES * H * W / best / 1e6
 
+        # indexed containers (container v2): the entropy stage runs ON
+        # DEVICE (ops/entropy_decode_pallas.py) — nothing but container
+        # bytes crosses the host link, so this is the tunnel-honest
+        # on-device decode number the host path can't reach
+        dev_e2e = float("nan")
+        if on_tpu:
+            cfg_ix = cfg.replace(decode_index=True)
+            datas_ix = [
+                codec.ImageCodec(cfg_ix).encode(np.asarray(f))
+                for f in frames
+            ]
+            dec_ix = codec.ImageCodec(cfg_ix)
+
+            def once_ix() -> None:
+                sums = [
+                    jnp.sum(dec_ix.decode_to_device(d).astype(jnp.uint32))
+                    for d in datas_ix
+                ]
+                for s in sums:
+                    float(s)
+
+            once_ix()  # compile (first decode-kernel shape: ~1-3 min)
+            best_ix = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                once_ix()
+                best_ix = min(best_ix, time.perf_counter() - t0)
+            dev_e2e = FRAMES * H * W / best_ix / 1e6
+
         # host half alone (entropy decode to coefficients, no upload):
         # deserialize + table/geometry reconstruction outside the timed
         # region — the point is to isolate the per-symbol decode loop the
@@ -273,12 +302,12 @@ def main() -> None:
                     c.planes[0], ccfg, table, mode, n_stripes, bps, run_table
                 )
             best_h = min(best_h, time.perf_counter() - t0)
-        return e2e, FRAMES * H * W / best_h / 1e6
+        return e2e, dev_e2e, FRAMES * H * W / best_h / 1e6
 
     # measure the kernel roofline BEFORE the sustained encode loops — the
     # ordering measurably affects kernel timings through the shared chip
     mfu, mfu_wrapper = measure_mfu() if on_tpu else (float("nan"),) * 2
-    decode_mpix, decode_host_mpix = measure_decode()
+    decode_mpix, decode_dev_mpix, decode_host_mpix = measure_decode()
 
     t1, tk = timed(step1), timed(stepk)
     if tk <= t1:
@@ -313,6 +342,10 @@ def main() -> None:
     if decode_mpix == decode_mpix:
         out["decode_value"] = round(decode_mpix, 2)
         out["decode_unit"] = "Mpix/s"
+    if decode_dev_mpix == decode_dev_mpix:
+        # fully on-device decode (container v2 decode index): the Pallas
+        # entropy decoder replaces the host loop + coefficient upload
+        out["decode_device_value"] = round(decode_dev_mpix, 2)
     if decode_host_mpix == decode_host_mpix:
         # the codec's own decode work (host entropy half); the e2e
         # decode_value above is upload-bound through the axon tunnel
