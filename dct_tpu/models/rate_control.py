@@ -154,16 +154,60 @@ def _chunk_bits(
     return cl.reshape(n_stripes, -1).sum(axis=1)
 
 
+def _probe_skeleton(
+    w: int, h: int, cfg: CodecConfig, n_stripes: int, table, run_table,
+    var_codes,
+) -> cont.PlaneData:
+    """Empty-stripe PlaneData carrying exactly the probe-relevant header
+    fields, so serializing it prices the per-plane overhead byte-exactly."""
+    return cont.PlaneData(
+        width=w,
+        height=h,
+        table_lengths=table.lengths if table is not None else None,
+        vmin=_codec.DIRECT_VMIN,
+        variance_codes=var_codes,
+        stripe_bits=np.zeros(n_stripes, np.uint32),
+        stripes=[b""] * n_stripes,
+        run_table_lengths=(
+            run_table.lengths if run_table is not None else None
+        ),
+        block_bits=(
+            # the decode index is 2 B/block of size-invariant header cost;
+            # an all-zero index keeps the skeleton serializable (zero
+            # stripe sums) while charging the probe the exact overhead
+            np.zeros(
+                n_stripes * cfg.stripe_rows * (-(-w // cfg.block_size)),
+                np.uint16,
+            )
+            if cfg.decode_index else None
+        ),
+    )
+
+
 def _plane_size(
-    plane: np.ndarray, cfg: CodecConfig, chroma: bool
+    plane: np.ndarray, cfg: CodecConfig, chroma: bool, mesh=None
 ) -> tuple[np.ndarray, cont.PlaneData]:
     """(per-stripe bit counts, empty-stripe PlaneData skeleton) for one
     plane at cfg.quality. Mirrors codec.encode_plane up to (but not
-    including) the pack stage."""
+    including) the pack stage. With a mesh, the analyze + chunk-length
+    reduction runs sharded over the stripe axis with the same psum table
+    globalization as parallel/shard_encode.encode_plane_sharded — the
+    counts are mesh-shape-invariant and equal to the unsharded probe's."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
     _, _, n_stripes = _codec._padded_grid(h, w, cfg)
-    img = _pad_plane(plane, cfg)
 
+    if mesh is not None:
+        from dct_tpu.parallel import shard_encode as _se
+
+        bits, vc, table, run_table = _se.plane_probe_bits_sharded(
+            plane, cfg, mesh, chroma=chroma
+        )
+        return bits, _probe_skeleton(
+            w, h, cfg, n_stripes, table, run_table,
+            vc if cfg.adaptive else None,
+        )
+
+    img = _pad_plane(plane, cfg)
     symbols, var_codes, hist, run_hist = _codec.encode_analyze(
         img, cfg, chroma=chroma
     )
@@ -183,29 +227,10 @@ def _plane_size(
             symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
         )
     )
-    skeleton = cont.PlaneData(
-        width=w,
-        height=h,
-        table_lengths=table.lengths if table is not None else None,
-        vmin=_codec.DIRECT_VMIN,
-        variance_codes=np.asarray(var_codes) if cfg.adaptive else None,
-        stripe_bits=np.zeros(n_stripes, np.uint32),
-        stripes=[b""] * n_stripes,
-        run_table_lengths=(
-            run_table.lengths if run_table is not None else None
-        ),
-        block_bits=(
-            # the decode index is 2 B/block of size-invariant header cost;
-            # an all-zero index keeps the skeleton serializable (zero
-            # stripe sums) while charging the probe the exact overhead
-            np.zeros(
-                n_stripes * cfg.stripe_rows * (-(-w // cfg.block_size)),
-                np.uint16,
-            )
-            if cfg.decode_index else None
-        ),
+    return bits, _probe_skeleton(
+        w, h, cfg, n_stripes, table, run_table,
+        np.asarray(var_codes) if cfg.adaptive else None,
     )
-    return bits, skeleton
 
 
 def _image_plane_args(
@@ -229,11 +254,12 @@ def _container_size_from_planes(
     cfg: CodecConfig,
     w: int,
     h: int,
+    mesh=None,
 ) -> int:
     payload = 0
     skeletons = []
     for plane, chroma in plane_args:
-        bits, skel = _plane_size(plane, cfg, chroma)
+        bits, skel = _plane_size(plane, cfg, chroma, mesh=mesh)
         payload += int(((bits.astype(np.int64) + 7) // 8).sum())
         skeletons.append(skel)
     header = len(
@@ -244,16 +270,19 @@ def _container_size_from_planes(
     return header + payload
 
 
-def container_size(image: np.ndarray, cfg: CodecConfig) -> int:
+def container_size(image: np.ndarray, cfg: CodecConfig, mesh=None) -> int:
     """EXACT serialized container size in bytes for encoding `image` under
     `cfg` — without packing or materializing the payload.
 
     Grayscale (H, W) or RGB (H, W, 3) by array rank, with codec.encode's
-    chroma normalization (RGB + chroma='gray' switches to '420')."""
+    chroma normalization (RGB + chroma='gray' switches to '420'). With a
+    jax.sharding.Mesh the probe runs stripe-sharded
+    (parallel/shard_encode.plane_probe_bits_sharded) and returns the same
+    integer for every mesh shape."""
     cfg = _normalize_chroma(image.ndim, cfg)
     return _container_size_from_planes(
         _image_plane_args(image, cfg), cfg,
-        int(image.shape[1]), int(image.shape[0]),
+        int(image.shape[1]), int(image.shape[0]), mesh=mesh,
     )
 
 
@@ -410,12 +439,28 @@ def _video_sizes_from_batches(
     w: int,
     h: int,
     chunk_frames: int | None,
+    mesh=None,
 ) -> np.ndarray:
     f = int(plane_batches[0][0].shape[0])
     per_frame = np.zeros(f, np.int64)
     skeletons = []
     for batch, chroma in plane_batches:
-        bits, skel = _plane_batch_bits(batch, cfg, chroma, chunk_frames)
+        if mesh is not None:
+            from dct_tpu.parallel import shard_encode as _se
+
+            bits, table, run_table = _se.video_plane_batch_bits_sharded(
+                batch, cfg, mesh, chroma, chunk_frames
+            )
+            bh, bw, n_stripes = _codec._padded_grid(
+                int(batch.shape[1]), int(batch.shape[2]), cfg
+            )
+            skel = _probe_skeleton(
+                int(batch.shape[2]), int(batch.shape[1]), cfg, n_stripes,
+                table, run_table,
+                np.zeros(bh * bw, np.uint8) if cfg.adaptive else None,
+            )
+        else:
+            bits, skel = _plane_batch_bits(batch, cfg, chroma, chunk_frames)
         per_frame += ((bits.astype(np.int64) + 7) // 8).sum(axis=1)
         skeletons.append(skel)
     header = len(cont.serialize(
@@ -428,14 +473,18 @@ def video_container_sizes(
     frames: np.ndarray,
     cfg: CodecConfig,
     chunk_frames: int | None = None,
+    mesh=None,
 ) -> np.ndarray:
     """EXACT per-frame container sizes (bytes) for VideoCodec(cfg).encode
     (frames), without packing: (F,) int64. Remember that the batch shares
     ONE table per plane type, so these differ from per-image
-    container_size whenever tables are dynamic."""
+    container_size whenever tables are dynamic. With a mesh the probe
+    runs dp x sp sharded and returns the same integers for every mesh
+    shape."""
     batches = _video_plane_batches(frames, cfg, chunk_frames)
     h, w = int(frames.shape[1]), int(frames.shape[2])
-    return _video_sizes_from_batches(batches, cfg, w, h, chunk_frames)
+    return _video_sizes_from_batches(batches, cfg, w, h, chunk_frames,
+                                     mesh=mesh)
 
 
 def encode_video_to_size(
@@ -445,11 +494,14 @@ def encode_video_to_size(
     qualities: tuple[int, ...] = DEFAULT_LADDER,
     strict: bool = True,
     chunk_frames: int | None = None,
+    mesh=None,
 ) -> tuple[list[bytes], int]:
     """Encode a frame stack into at most `total_bytes` across all per-frame
     containers, at one shared quality (the batch analog of encode_to_size;
     per-frame streams stay individually decodable). Returns
-    (streams, quality)."""
+    (streams, quality). With a jax.sharding.Mesh, probes AND the final
+    encode run dp x sp sharded; chosen quality and bytes are mesh-shape-
+    invariant."""
     base = config or CodecConfig()
     if frames.ndim == 4 and base.chroma == "gray":
         base = base.replace(chroma="420")
@@ -463,7 +515,8 @@ def encode_video_to_size(
     def size_of(q: int) -> int:
         if q not in totals:
             totals[q] = int(_video_sizes_from_batches(
-                batches, base.replace(quality=q), w, h, chunk_frames
+                batches, base.replace(quality=q), w, h, chunk_frames,
+                mesh=mesh,
             ).sum())
         return totals[q]
 
@@ -478,7 +531,7 @@ def encode_video_to_size(
     from dct_tpu.models.video import VideoCodec
 
     streams = VideoCodec(
-        base.replace(quality=best), chunk_frames=chunk_frames
+        base.replace(quality=best), chunk_frames=chunk_frames, mesh=mesh
     ).encode(frames)
     return streams, best
 
@@ -511,16 +564,27 @@ def _plane_sse_chunks(
     return sq.reshape(h, pad_w // 4096, 4096).sum(axis=2)
 
 
-def roundtrip_sse(image: np.ndarray, cfg: CodecConfig) -> int:
+def roundtrip_sse(image: np.ndarray, cfg: CodecConfig, mesh=None) -> int:
     """EXACT sum of squared pixel errors of encode->decode under `cfg`,
     without producing a bitstream. Grayscale (H, W) only; color goes
-    through psnr_at_quality (the RGB reconstruction crosses planes)."""
+    through psnr_at_quality (the RGB reconstruction crosses planes).
+    With a mesh the roundtrip runs stripe-sharded
+    (parallel/shard_encode.plane_sse_chunks_sharded) — same integer for
+    every mesh shape (pad rows are masked, and integer chunk sums are
+    order-exact)."""
     if image.ndim != 2:
         raise ValueError("roundtrip_sse takes a grayscale (H, W) plane")
     h, w = int(image.shape[0]), int(image.shape[1])
-    chunks = np.asarray(
-        _plane_sse_chunks(_pad_plane(image, cfg), cfg, False, h, w)
-    )
+    if mesh is not None:
+        from dct_tpu.parallel import shard_encode as _se
+
+        chunks = np.asarray(
+            _se.plane_sse_chunks_sharded(image, cfg, mesh, False, h, w)
+        )
+    else:
+        chunks = np.asarray(
+            _plane_sse_chunks(_pad_plane(image, cfg), cfg, False, h, w)
+        )
     return int(sum(int(x) for x in chunks.ravel()))
 
 
@@ -549,11 +613,48 @@ def _rgb_sse_chunks(
     return sq.reshape(h, pad_w // 1024, 1024).sum(axis=2)
 
 
-def psnr_at_quality(image: np.ndarray, cfg: CodecConfig) -> float:
+def _rgb_sse_sharded(image: np.ndarray, cfg: CodecConfig, mesh) -> int:
+    """Sharded RGB distortion probe: per-plane roundtrips run stripe-
+    sharded (shard_map — the Mosaic transform pair can't be GSPMD-
+    partitioned), then the cross-plane YCbCr recombine + squared diff run
+    under plain jit over the row-sharded planes (elementwise + upsample;
+    XLA inserts the resharding). Integer chunk sums are order-exact, so
+    the total equals _rgb_sse_chunks' for every mesh shape."""
+    from dct_tpu.models import color as _color
+    from dct_tpu.parallel import shard_encode as _se
+
+    h, w = int(image.shape[0]), int(image.shape[1])
+    planes = _color._to_planes(jnp.asarray(image, jnp.uint8), cfg.chroma)
+    recs = []
+    for i, plane in enumerate(planes):
+        ph_, pw_ = int(plane.shape[0]), int(plane.shape[1])
+        rec = _se.plane_roundtrip_sharded(
+            np.asarray(plane), cfg, mesh, chroma=i > 0
+        )
+        recs.append(rec[:ph_, :pw_])
+
+    @functools.partial(jax.jit, static_argnames=("chroma",))
+    def sse_chunks(y, cb, cr, rgb, chroma):
+        out = _color.planes_to_rgb(y, cb, cr, chroma, h, w)
+        d = out.astype(jnp.int32) - rgb.astype(jnp.int32)
+        sq = (d * d).sum(axis=2)  # <= 3 * 255^2 per pixel
+        pad_w = -(-w // 1024) * 1024
+        if pad_w != w:
+            sq = jnp.pad(sq, ((0, 0), (0, pad_w - w)))
+        return sq.reshape(h, pad_w // 1024, 1024).sum(axis=2)
+
+    chunks = np.asarray(sse_chunks(
+        recs[0], recs[1], recs[2], jnp.asarray(image, jnp.uint8), cfg.chroma
+    ))
+    return int(sum(int(x) for x in chunks.ravel()))
+
+
+def psnr_at_quality(image: np.ndarray, cfg: CodecConfig, mesh=None) -> float:
     """EXACT PSNR (dB) of encoding `image` under `cfg` — float-identical
     to metrics.psnr(image, decode(encode(image, cfg))) — without packing
     or parsing a bitstream. Probes run entirely on device; only int32
-    partial sums are fetched.
+    partial sums are fetched. With a mesh the roundtrips run stripe-
+    sharded; the result is float-identical for every mesh shape.
 
     Float-identical because both compute 10*log10(255^2 / (sse / n)) in
     float64 and metrics.mse's np.mean over integer-valued f64 squares is
@@ -561,8 +662,11 @@ def psnr_at_quality(image: np.ndarray, cfg: CodecConfig) -> float:
     cfg = _normalize_chroma(image.ndim, cfg)
     h, w = int(image.shape[0]), int(image.shape[1])
     if image.ndim == 2:
-        sse = roundtrip_sse(image, cfg)
+        sse = roundtrip_sse(image, cfg, mesh=mesh)
         n_px = h * w
+    elif mesh is not None:
+        sse = _rgb_sse_sharded(image, cfg, mesh)
+        n_px = h * w * 3
     else:
         chunks = np.asarray(
             _rgb_sse_chunks(jnp.asarray(image, jnp.uint8), cfg, h, w)
@@ -581,13 +685,16 @@ def encode_to_psnr(
     config: CodecConfig | None = None,
     qualities: tuple[int, ...] = DEFAULT_LADDER,
     strict: bool = True,
+    mesh=None,
 ) -> tuple[bytes, int]:
     """Encode `image` at the LOWEST ladder quality whose exact PSNR meets
     `min_psnr` dB (smallest file achieving the distortion target — the
     quality-targeted dual of encode_to_size). Returns (bytes, quality).
 
     If even the highest rung misses the target: raise ValueError when
-    `strict`, else return the highest-rung encode (best effort)."""
+    `strict`, else return the highest-rung encode (best effort). With a
+    jax.sharding.Mesh, probes and the final encode run stripe-sharded;
+    the chosen quality and bytes are mesh-shape-invariant."""
     base = _normalize_chroma(image.ndim, config or CodecConfig())
     ladder = _clean_ladder(qualities)[::-1]  # descending: see _ladder_bisect
 
@@ -595,7 +702,9 @@ def encode_to_psnr(
 
     def psnr_of(q: int) -> float:
         if q not in psnrs:
-            psnrs[q] = psnr_at_quality(image, base.replace(quality=q))
+            psnrs[q] = psnr_at_quality(
+                image, base.replace(quality=q), mesh=mesh
+            )
         return psnrs[q]
 
     best = _ladder_bisect(
@@ -607,6 +716,12 @@ def encode_to_psnr(
             f"target {min_psnr}"
         ),
     )
+    if mesh is not None:
+        from dct_tpu.parallel import shard_encode as _se
+
+        return _se.encode_image_sharded(
+            np.asarray(image), base.replace(quality=best), mesh
+        ), best
     data = _codec.encode(image, base.replace(quality=best))
     return data, best
 
@@ -617,6 +732,7 @@ def encode_to_size(
     config: CodecConfig | None = None,
     qualities: tuple[int, ...] = DEFAULT_LADDER,
     strict: bool = True,
+    mesh=None,
 ) -> tuple[bytes, int]:
     """Encode `image` into at most `max_bytes`, choosing the highest
     quality on the ladder that fits. Returns (container bytes, quality).
@@ -625,7 +741,13 @@ def encode_to_size(
     ignored). If even the lowest rung exceeds the budget: raise ValueError
     when `strict`, else return the lowest-rung encode (over budget, best
     effort). Probes are exact (see container_size), so the returned
-    container always fits when a fitting rung exists."""
+    container always fits when a fitting rung exists.
+
+    With a jax.sharding.Mesh, both the probes AND the final encode run
+    stripe-sharded (parallel/shard_encode) — the chosen quality and the
+    returned bytes are identical for every mesh shape (and to the
+    unsharded call), because probes ride the same psum-globalized tables
+    and masked chunk sums the sharded encoder uses."""
     base = _normalize_chroma(image.ndim, config or CodecConfig())
     ladder = _clean_ladder(qualities)
     # the RGB->YCbCr split is quality-independent: convert once, not per rung
@@ -637,7 +759,7 @@ def encode_to_size(
     def size_of(q: int) -> int:
         if q not in sizes:
             sizes[q] = _container_size_from_planes(
-                plane_args, base.replace(quality=q), w, h
+                plane_args, base.replace(quality=q), w, h, mesh=mesh
             )
         return sizes[q]
 
@@ -647,5 +769,11 @@ def encode_to_size(
         strict,
         lambda q: f"quality {q} needs {size_of(q)} bytes > budget {max_bytes}",
     )
+    if mesh is not None:
+        from dct_tpu.parallel import shard_encode as _se
+
+        return _se.encode_image_sharded(
+            np.asarray(image), base.replace(quality=best), mesh
+        ), best
     data = _codec.encode(image, base.replace(quality=best))
     return data, best

@@ -35,12 +35,16 @@ def _analyze_batch(frames: jax.Array, cfg: CodecConfig, chroma: bool = False):
     return symbols, var_codes, jnp.sum(hist, axis=0), jnp.sum(run_hist, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_stripes"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_stripes", "return_block_bits")
+)
 def _pack_batch(symbols, cfg: CodecConfig, n_stripes: int, lengths, codes,
-                run_lengths=None, run_codes=None):
+                run_lengths=None, run_codes=None,
+                return_block_bits: bool = False):
     return jax.vmap(
         lambda s: _codec.encode_pack(
-            s, cfg, n_stripes, lengths, codes, run_lengths, run_codes
+            s, cfg, n_stripes, lengths, codes, run_lengths, run_codes,
+            return_block_bits=return_block_bits,
         )
     )(symbols)
 
@@ -130,37 +134,51 @@ def _encode_plane_batch(
 
     out: list[cont.PlaneData] = []
     for i0 in range(0, f, chunk):
+        block_bits = None
         if cfg.static_tables:
-            packed, var_codes = jax.vmap(
+            res = jax.vmap(
                 lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
             )(prep(planes[i0 : i0 + chunk]))
+            if cfg.decode_index:
+                packed, var_codes, block_bits = res
+            else:
+                packed, var_codes = res
         elif symbols_once is not None:
             # symbols already computed by the single-chunk analyze above —
             # no second pad/upload of the stack
-            packed = _pack_batch(
+            res = _pack_batch(
                 symbols_once, cfg, n_stripes, lengths, codes,
-                run_lengths, run_codes,
+                run_lengths, run_codes, return_block_bits=cfg.decode_index,
             )
+            packed, block_bits = res if cfg.decode_index else (res, None)
             var_codes = var_once
         elif _codec._fused_kernel_ok(cfg):
-            packed, var_codes = jax.vmap(
+            res = jax.vmap(
                 lambda im: _codec.encode_fused_step(
                     im, cfg, n_stripes, lengths, codes, chroma,
                     run_lengths, run_codes,
                 )
             )(prep(planes[i0 : i0 + chunk]))
+            if cfg.decode_index:
+                packed, var_codes, block_bits = res
+            else:
+                packed, var_codes = res
         else:
             symbols, var_codes, _, _ = _analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
             )
-            packed = _pack_batch(
+            res = _pack_batch(
                 symbols, cfg, n_stripes, lengths, codes,
-                run_lengths, run_codes,
+                run_lengths, run_codes, return_block_bits=cfg.decode_index,
             )
+            packed, block_bits = res if cfg.decode_index else (res, None)
 
         packed = bs.fetch_packed(packed)  # trim worst-case slack before D2H
         units, bits = packed.units, packed.bit_lengths
         var_np = np.asarray(var_codes) if cfg.adaptive else None
+        bb_np = (
+            np.asarray(block_bits) if block_bits is not None else None
+        )
 
         for i in range(units.shape[0]):
             stripes = bs.stripes_to_bytes(bs.PackedStripes(units[i], bits[i]))
@@ -175,6 +193,10 @@ def _encode_plane_batch(
                 run_table_lengths=(
                     run_table.lengths if run_table is not None else None
                 ),
+                block_bits=(
+                    bb_np[i].reshape(-1).astype(np.uint16)
+                    if bb_np is not None else None
+                ),
             ))
     return out
 
@@ -188,19 +210,25 @@ class VideoCodec:
         self,
         config: CodecConfig | None = None,
         chunk_frames: int | None = None,
+        mesh=None,
     ):
         """chunk_frames caps frames per device dispatch (None = auto from
-        CHUNK_PIXEL_BUDGET). Output bytes are chunking-invariant."""
+        CHUNK_PIXEL_BUDGET). Output bytes are chunking-invariant. With a
+        jax.sharding.Mesh, encode runs dp x sp sharded
+        (parallel/shard_encode.encode_video_sharded) and the bytes are
+        mesh-shape-invariant (identical to the unsharded encoder)."""
         self.config = config or CodecConfig()
         self.chunk_frames = chunk_frames
+        self.mesh = mesh
 
     def encode(self, frames: np.ndarray) -> list[bytes]:
         cfg = self.config
         ck = self.chunk_frames
-        if cfg.decode_index:
-            raise ValueError(
-                "decode_index is not yet supported on the batched video "
-                "path; encode frames individually for indexed containers"
+        if self.mesh is not None:
+            from dct_tpu.parallel import shard_encode as _se
+
+            return _se.encode_video_sharded(
+                frames, cfg, self.mesh, chunk_frames=ck
             )
         if cfg.chroma == "gray":
             if frames.ndim != 3:

@@ -126,6 +126,77 @@ def global_run_histogram(
     return f(runs, live)
 
 
+def _mesh_stripe_grid(h: int, w: int, cfg: CodecConfig, mesh: Mesh):
+    """Padded grid dims with the stripe count rounded up to divide the
+    mesh: (bh, bw, n_stripes, n_stripes_padded, bh_real). Mesh-pad stripes
+    hold replicated edge rows; bh_real is the block-row count before mesh
+    padding (histogram masking + container assembly drop the rest)."""
+    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    bh_real = bh
+    if n_stripes % n_dev != 0:
+        n_stripes_p = -(-n_stripes // n_dev) * n_dev
+        bh = n_stripes_p * cfg.stripe_rows
+    else:
+        n_stripes_p = n_stripes
+    return bh, bw, n_stripes, n_stripes_p, bh_real
+
+
+def _sharded_padded_plane(
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, bh: int, bw: int
+) -> jax.Array:
+    """Pad a plane to the (mesh-padded) block grid and place it row-sharded
+    over the stripe axis."""
+    from dct_tpu.ops import blocks as blk
+
+    n = cfg.block_size
+    img = jnp.asarray(np.asarray(plane, np.uint8))
+    img = blk.pad_to_blocks(img, n)
+    ph, pw = bh * n, bw * n
+    img = jnp.pad(
+        img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+    )
+    row_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
+    return jax.device_put(img, row_sharding)
+
+
+def _dynamic_tables_sharded(
+    symbols, cfg: CodecConfig, mesh: Mesh, nb_real: int
+):
+    """Global (mesh-invariant) Huffman tables from sharded symbols:
+    (table, run_table, lengths, codes, run_lengths, run_codes).
+
+    Histogram globalization is the collective: mesh-pad stripes (added
+    only so the stripe count divides the device count) are masked out, or
+    the table — and the whole container — would depend on the mesh."""
+    from dct_tpu.ops.rle import RLEPositional
+
+    if isinstance(symbols, RLEPositional):
+        live = symbols.is_sym
+    else:
+        s_idx = jnp.arange(symbols.values.shape[1])[None, :]
+        live = s_idx < symbols.counts[:, None]
+    live = live & (
+        jnp.arange(symbols.values.shape[0])[:, None] < nb_real
+    )
+    if cfg.use_huffman and cfg.huffman_mode == "category":
+        hist = global_category_histogram(symbols.values, live, mesh)
+    else:
+        hist = _hist_fallback(symbols, cfg, nb_real)
+    table = _codec._build_table(cfg, np.asarray(hist))
+    if cfg.coded_runs:
+        # second collective: psum the run histogram so every shard
+        # derives the identical run table
+        run_hist = global_run_histogram(symbols.runs, live, mesh)
+        run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
+        run_lengths, run_codes = _codec._table_arrays(run_table)
+    else:
+        run_table = None
+        run_lengths = run_codes = None
+    lengths, codes = _codec._table_arrays(table)
+    return table, run_table, lengths, codes, run_lengths, run_codes
+
+
 def encode_plane_sharded(
     plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool = False
 ) -> cont.PlaneData:
@@ -133,76 +204,33 @@ def encode_plane_sharded(
     is byte-identical to the single-device encoder's. chroma selects the
     chrominance quant table (color containers' Cb/Cr planes)."""
     h, w = int(plane.shape[0]), int(plane.shape[1])
-    n = cfg.block_size
-    if cfg.decode_index:
-        # per-block bit lengths are stripe-local (no collective needed) but
-        # the sharded assembly below does not gather them yet — reject
-        # loudly rather than emit a v2 container with a missing index
-        raise ValueError(
-            "decode_index is not yet supported on the sharded encode path"
-        )
-    bh, bw, n_stripes = _codec._padded_grid(h, w, cfg)
-    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
-    bh_real = bh  # block rows before mesh padding (histogram masking)
-    if n_stripes % n_dev != 0:
-        # pad the stripe count so it divides the mesh; extra stripes hold
-        # replicated edge rows and are dropped at container assembly
-        n_stripes_p = -(-n_stripes // n_dev) * n_dev
-        bh = n_stripes_p * cfg.stripe_rows
-    else:
-        n_stripes_p = n_stripes
-
-    img = jnp.asarray(np.asarray(plane, np.uint8))
-    from dct_tpu.ops import blocks as blk
-
-    img = blk.pad_to_blocks(img, n)
-    ph, pw = bh * n, bw * n
-    img = jnp.pad(
-        img, ((0, ph - img.shape[0]), (0, pw - img.shape[1])), mode="edge"
+    bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
+        h, w, cfg, mesh
     )
-    row_sharding = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None))
-    img = jax.device_put(img, row_sharding)
+    img = _sharded_padded_plane(plane, cfg, mesh, bh, bw)
 
+    block_bits = None
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
         run_table = _codec._build_run_table(cfg, None)
-        packed, var_codes = _encode_step_sharded(
-            img, cfg, n_stripes_p, mesh, chroma
-        )
+        res = _encode_step_sharded(img, cfg, n_stripes_p, mesh, chroma)
+        if cfg.decode_index:
+            packed, var_codes, block_bits = res
+        else:
+            packed, var_codes = res
     else:
         symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg, chroma=chroma)
-        from dct_tpu.ops.rle import RLEPositional
-
-        if isinstance(symbols, RLEPositional):
-            live = symbols.is_sym
-        else:
-            s_idx = jnp.arange(symbols.values.shape[1])[None, :]
-            live = s_idx < symbols.counts[:, None]
-        # mesh-pad stripes (added only so the stripe count divides the
-        # device count) must NOT contaminate the global histograms, or the
-        # table — and the whole container — would depend on the mesh shape
-        nb_real = bh_real * bw
-        live = live & (
-            jnp.arange(symbols.values.shape[0])[:, None] < nb_real
+        table, run_table, lengths, codes, run_lengths, run_codes = (
+            _dynamic_tables_sharded(symbols, cfg, mesh, bh_real * bw)
         )
-        if cfg.use_huffman and cfg.huffman_mode == "category":
-            hist = global_category_histogram(symbols.values, live, mesh)
-        else:
-            hist = _hist_fallback(symbols, cfg, nb_real)
-        table = _codec._build_table(cfg, np.asarray(hist))
-        if cfg.coded_runs:
-            # second collective: psum the run histogram so every shard
-            # derives the identical run table
-            run_hist = global_run_histogram(symbols.runs, live, mesh)
-            run_table = _codec._build_run_table(cfg, np.asarray(run_hist))
-            run_lengths, run_codes = _codec._table_arrays(run_table)
-        else:
-            run_table = None
-            run_lengths = run_codes = None
-        lengths, codes = _codec._table_arrays(table)
-        packed = _codec.encode_pack(
-            symbols, cfg, n_stripes_p, lengths, codes, run_lengths, run_codes
+        out = _codec.encode_pack(
+            symbols, cfg, n_stripes_p, lengths, codes, run_lengths,
+            run_codes, return_block_bits=cfg.decode_index,
         )
+        if cfg.decode_index:
+            packed, block_bits = out
+        else:
+            packed = out
 
     # collective offsets (exercised + returned for the container writer)
     _ = stripe_byte_offsets(packed.bit_lengths, mesh)
@@ -234,7 +262,143 @@ def encode_plane_sharded(
         run_table_lengths=(
             run_table.lengths if run_table is not None else None
         ),
+        block_bits=(
+            # per-block bit lengths are stripe-local — no collective, just
+            # the same gather + mesh-pad-stripe trim as the payload
+            _host_full(block_bits)[:n_stripes]
+            .reshape(-1).astype(np.uint16)
+            if block_bits is not None else None
+        ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sharded rate-control probes (models/rate_control.py with a mesh)
+# ---------------------------------------------------------------------------
+
+
+def plane_probe_bits_sharded(
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool = False
+):
+    """Sharded size probe: per-stripe payload bit counts WITHOUT packing —
+    the mesh analog of rate_control._plane_size's bits half. Runs the
+    sharded analyze + the same psum table globalization as
+    encode_plane_sharded, then reduces the chunk-length tensor (the one
+    the packer offsets by) per stripe. Returns
+    (bits[:n_stripes], var_codes or None, table, run_table) — exactly the
+    fields the probe skeleton needs, mesh-shape-invariant by the same
+    masking that makes the encoder mesh-invariant."""
+    from dct_tpu.models import rate_control as _rc
+
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
+        h, w, cfg, mesh
+    )
+    img = _sharded_padded_plane(plane, cfg, mesh, bh, bw)
+    symbols, var_codes, hist, run_hist = _codec.encode_analyze(
+        img, cfg, chroma=chroma
+    )
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
+        lengths, codes = _codec._table_arrays(table)
+        run_lengths, run_codes = (
+            _codec._table_arrays(run_table) if cfg.coded_runs
+            else (None, None)
+        )
+    else:
+        table, run_table, lengths, codes, run_lengths, run_codes = (
+            _dynamic_tables_sharded(symbols, cfg, mesh, bh_real * bw)
+        )
+    bits = np.asarray(
+        _rc._chunk_bits(
+            symbols, cfg, n_stripes_p, lengths, codes, run_lengths, run_codes
+        )
+    )[:n_stripes]
+    vc = (
+        _host_full(var_codes)[: bh_real * bw] if cfg.adaptive else None
+    )
+    return bits, vc, table, run_table
+
+
+def plane_sse_chunks_sharded(
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool, h: int,
+    w: int,
+) -> jax.Array:
+    """Sharded distortion probe: the mesh analog of
+    rate_control._plane_sse_chunks. Each device round-trips ITS stripe
+    rows through the production quantize/reconstruct pair (shard_map —
+    on TPU the pair is a Mosaic kernel, which GSPMD cannot partition) and
+    reduces to int32 column-chunk partial sums; rows past the real image
+    height (grid pad + mesh-pad stripes) and columns past the width are
+    masked to zero instead of cropped, which sums to the identical exact
+    integer. Output: (ph, ceil(w/4096)) int32, row-sharded."""
+    bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
+        h, w, cfg, mesh
+    )
+    img = _sharded_padded_plane(plane, cfg, mesh, bh, bw)
+    n = cfg.block_size
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    ph, pw = bh * n, bw * n
+    local_ph = ph // n_dev
+    pad_w = -(-w // 4096) * 4096
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.STRIPE_AXIS, None),
+        out_specs=P(meshlib.STRIPE_AXIS, None),
+        check_vma=False,  # Pallas out_shapes carry vma=None (see encode)
+    )
+    def f(local_img):
+        from dct_tpu.models.rate_control import _plane_roundtrip
+
+        rec = _plane_roundtrip(local_img, cfg, chroma)
+        d = rec.astype(jnp.int32) - local_img.astype(jnp.int32)
+        sq = d * d
+        row0 = jax.lax.axis_index(meshlib.STRIPE_AXIS) * local_ph
+        rows = row0 + jax.lax.broadcasted_iota(
+            jnp.int32, (local_ph, pw), 0
+        )
+        cols = jax.lax.broadcasted_iota(jnp.int32, (local_ph, pw), 1)
+        sq = jnp.where((rows < h) & (cols < w), sq, 0)
+        if pad_w > pw:
+            sq = jnp.pad(sq, ((0, 0), (0, pad_w - pw)))
+        else:
+            sq = sq[:, :pad_w]
+        return sq.reshape(local_ph, pad_w // 4096, 4096).sum(axis=2)
+
+    return f(img)
+
+
+def plane_roundtrip_sharded(
+    plane: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool
+) -> jax.Array:
+    """Sharded production quantize/reconstruct roundtrip of one plane:
+    the mesh analog of rate_control._plane_roundtrip, returning the
+    reconstructed padded plane row-sharded (callers crop). Used by the
+    sharded RGB distortion probe, whose YCbCr recombine crosses stripe
+    rows and therefore happens OUTSIDE the shard_map (XLA inserts the
+    halo resharding for the 4:2:0 upsample)."""
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    bh, bw, _, _, _ = _mesh_stripe_grid(h, w, cfg, mesh)
+    img = _sharded_padded_plane(plane, cfg, mesh, bh, bw)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.STRIPE_AXIS, None),
+        out_specs=P(meshlib.STRIPE_AXIS, None),
+        check_vma=False,  # Pallas out_shapes carry vma=None (see encode)
+    )
+    def f(local_img):
+        from dct_tpu.models.rate_control import _plane_roundtrip
+
+        return _plane_roundtrip(local_img, cfg, chroma)
+
+    return f(img)
 
 
 def _hist_fallback(symbols, cfg, nb_real: int):
@@ -285,6 +449,10 @@ def _encode_step_sharded(
         bit_lengths=P(meshlib.STRIPE_AXIS),
     )
     out_specs = (ps_spec, P(meshlib.STRIPE_AXIS) if cfg.adaptive else None)
+    if cfg.decode_index:
+        # per-block bit lengths: (n_stripes, bps), stripe-sharded like the
+        # units they index
+        out_specs += (P(meshlib.STRIPE_AXIS, None),)
 
     @functools.partial(
         shard_map,
@@ -448,6 +616,441 @@ def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
         return _color.planes_to_rgb(yy, b, r, cfg.chroma, h, w)
 
     return recombine(y, cb, cr)
+
+
+# ---------------------------------------------------------------------------
+# Sharded video encode (models/video.py with a mesh): dp x sp over frame
+# stacks, byte-identical to the unsharded VideoCodec for every mesh shape
+# ---------------------------------------------------------------------------
+
+
+def _pad_frames(sub: np.ndarray, cfg: CodecConfig, ph: int, pw: int,
+                f_pad: int) -> jnp.ndarray:
+    """Pad a frame-chunk to the (mesh-padded) grid dims and to f_pad
+    frames (repeating the last frame — outputs of pad frames are dropped
+    and their histogram contributions masked)."""
+    from dct_tpu.ops import blocks as blk
+
+    imgs = blk.pad_to_blocks(jnp.asarray(sub, jnp.uint8), cfg.block_size)
+    imgs = jnp.pad(
+        imgs,
+        ((0, 0), (0, ph - imgs.shape[1]), (0, pw - imgs.shape[2])),
+        mode="edge",
+    )
+    if f_pad > imgs.shape[0]:
+        imgs = jnp.concatenate(
+            [imgs] + [imgs[-1:]] * (f_pad - imgs.shape[0])
+        )
+    return imgs
+
+
+@functools.lru_cache(maxsize=None)
+def _video_hist_step(
+    cfg: CodecConfig, mesh: Mesh, nb_real: int, chroma: bool, f_real: int,
+    f_pad: int,
+):
+    """Jitted shard_map'd pass-1 step: (f_pad, ph, pw) frames sharded
+    (data, stripe) -> batch-global (category or direct) histogram [+ run
+    histogram], psum'd over BOTH axes with pad frames and mesh-pad
+    stripes masked out — so the table (and the bytes) cannot depend on
+    the mesh shape or the frame padding."""
+    from dct_tpu.ops.rle import RLEPositional
+
+    out_specs = (P(), P()) if cfg.coded_runs else (P(), None)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+        out_specs=out_specs,
+        check_vma=False,  # Pallas out_shapes carry vma=None (see encode)
+    )
+    def step(fr):
+        def one(im):
+            symbols, _, _, _ = _codec.encode_analyze(im, cfg, chroma=chroma)
+            return symbols
+        sym = jax.vmap(one)(fr)
+
+        if isinstance(sym, RLEPositional):
+            live = sym.is_sym  # (F_l, B_l, S)
+        else:
+            s_idx = jnp.arange(sym.values.shape[2])[None, None, :]
+            live = s_idx < sym.counts[:, :, None]
+        f_l, b_l = live.shape[0], live.shape[1]
+        # global indices: mask pad frames and mesh-pad-stripe blocks
+        fidx = (
+            jax.lax.axis_index(meshlib.DATA_AXIS) * f_l
+            + jnp.arange(f_l)[:, None]
+        )
+        bidx = (
+            jax.lax.axis_index(meshlib.STRIPE_AXIS) * b_l
+            + jnp.arange(b_l)[None, :]
+        )
+        real = (fidx < f_real) & (bidx < nb_real)  # (F_l, B_l)
+        live = live & real[:, :, None]
+
+        v2 = sym.values.reshape(f_l * b_l, -1)
+        m2 = live.reshape(f_l * b_l, -1)
+        if cfg.use_huffman and cfg.huffman_mode == "category":
+            hist = hf.category_histogram_masked(v2, m2)
+        elif cfg.use_huffman and cfg.huffman_mode == "direct":
+            # mirror _hist_fallback: zero the per-block symbol COUNTS of
+            # masked blocks (pad frames / mesh-pad stripes)
+            cnt = jnp.where(real, sym.counts, 0).reshape(-1)
+            hist = hf.value_histogram(
+                v2, cnt, _codec.DIRECT_VMIN, -_codec.DIRECT_VMIN
+            )
+        else:
+            hist = jnp.zeros(1, jnp.int32)
+        hist = jax.lax.psum(
+            jax.lax.psum(hist, meshlib.DATA_AXIS), meshlib.STRIPE_AXIS
+        )
+        if cfg.coded_runs:
+            rh = hf.run_histogram_masked(sym.runs.reshape(f_l * b_l, -1), m2)
+            rh = jax.lax.psum(
+                jax.lax.psum(rh, meshlib.DATA_AXIS), meshlib.STRIPE_AXIS
+            )
+            return hist, rh
+        return hist, None
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _video_encode_step(
+    cfg: CodecConfig, n_stripes: int, mesh: Mesh, chroma: bool,
+    static: bool,
+):
+    """Jitted shard_map'd pass-2 step over a (f_pad, ph, pw) chunk:
+    static tables -> vmapped encode_step; dynamic -> vmapped analyze +
+    staged pack against the (replicated) global tables. Returns
+    (PackedStripes, var_codes or None[, block_bits]) sharded
+    (data, stripe)."""
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    if n_stripes % n_dev:
+        raise ValueError(
+            f"n_stripes={n_stripes} must divide over the {n_dev}-device "
+            f"stripe axis"
+        )
+    local_stripes = n_stripes // n_dev
+    ps_spec = bs.PackedStripes(
+        units=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+        bit_lengths=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+    )
+    out_specs = (
+        ps_spec,
+        P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS) if cfg.adaptive else None,
+    )
+    if cfg.decode_index:
+        out_specs += (P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),)
+
+    if static:
+        @jax.jit
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        def step(fr):
+            return jax.vmap(
+                lambda im: _codec.encode_step(im, cfg, local_stripes, chroma)
+            )(fr)
+
+        return step
+
+    table_spec = (P(), P())
+    run_spec = (P(), P()) if cfg.coded_runs else (None, None)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+            *table_spec, *run_spec,
+        ),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    def step(fr, lengths, codes, run_lengths, run_codes):
+        def one(im):
+            symbols, var_codes, _, _ = _codec.encode_analyze(
+                im, cfg, chroma=chroma
+            )
+            out = _codec.encode_pack(
+                symbols, cfg, local_stripes, lengths, codes,
+                run_lengths, run_codes,
+                return_block_bits=cfg.decode_index,
+            )
+            if cfg.decode_index:
+                packed, bb = out
+                return packed, var_codes, bb
+            return out, var_codes
+
+        return jax.vmap(one)(fr)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _video_bits_step(
+    cfg: CodecConfig, n_stripes: int, mesh: Mesh, chroma: bool
+):
+    """Jitted shard_map'd size-probe step: per-frame per-stripe payload
+    bit counts against the (replicated) tables — the sharded analog of
+    rate_control._chunk_bits_batch."""
+    from dct_tpu.models import rate_control as _rc
+
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    local_stripes = n_stripes // n_dev
+    run_spec = (P(), P()) if cfg.coded_runs else (None, None)
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
+            P(), P(), *run_spec,
+        ),
+        out_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+        check_vma=False,
+    )
+    def step(fr, lengths, codes, run_lengths, run_codes):
+        def one(im):
+            symbols, _, _, _ = _codec.encode_analyze(im, cfg, chroma=chroma)
+            return _rc._chunk_bits(
+                symbols, cfg, local_stripes, lengths, codes,
+                run_lengths, run_codes,
+            )
+
+        return jax.vmap(one)(fr)
+
+    return step
+
+
+def _video_chunks(f: int, h: int, w: int, mesh: Mesh,
+                  chunk_frames: int | None) -> int:
+    """Frames per sharded dispatch: the unsharded CHUNK_PIXEL_BUDGET rule
+    rounded up to a data-axis multiple (pad frames are masked/dropped)."""
+    from dct_tpu.models import video as _video
+
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    if chunk_frames is None:
+        chunk_frames = max(1, _video.CHUNK_PIXEL_BUDGET // (h * w))
+    chunk = max(1, min(int(chunk_frames), f))
+    return -(-chunk // n_data) * n_data
+
+
+def _video_tables_sharded(
+    planes: np.ndarray, cfg: CodecConfig, mesh: Mesh, chroma: bool,
+    chunk: int, ph: int, pw: int, nb_real: int,
+):
+    """Pass 1 under the mesh: batch-global tables from the masked, psum'd
+    per-chunk histograms (int64 host accumulation across chunks, like the
+    unsharded encoder)."""
+    f = int(planes.shape[0])
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    hist = run_hist = None
+    for i0 in range(0, f, chunk):
+        sub = planes[i0 : i0 + chunk]
+        f_real = int(sub.shape[0])
+        f_pad = -(-f_real // n_data) * n_data
+        fr = jax.device_put(
+            _pad_frames(sub, cfg, ph, pw, f_pad), meshlib.frame_sharding(mesh)
+        )
+        step = _video_hist_step(cfg, mesh, nb_real, chroma, f_real, f_pad)
+        h_, rh_ = step(fr)
+        hist = np.asarray(h_, np.int64) + (0 if hist is None else hist)
+        if rh_ is not None:
+            run_hist = (
+                np.asarray(rh_, np.int64)
+                + (0 if run_hist is None else run_hist)
+            )
+    table = _codec._build_table(cfg, hist)
+    run_table = _codec._build_run_table(cfg, run_hist)
+    return table, run_table
+
+
+def encode_video_plane_batch_sharded(
+    planes: np.ndarray,
+    cfg: CodecConfig,
+    mesh: Mesh,
+    chroma: bool = False,
+    chunk_frames: int | None = None,
+) -> list[cont.PlaneData]:
+    """(F, h, w) u8 plane stack -> one PlaneData per frame, dp x sp
+    sharded, byte-identical to video._encode_plane_batch for every mesh
+    shape (batch-GLOBAL tables via masked psum histograms; mesh-pad
+    stripes and pad frames contribute nothing)."""
+    f, h, w = (int(x) for x in planes.shape)
+    bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
+        h, w, cfg, mesh
+    )
+    n = cfg.block_size
+    ph, pw = bh * n, bw * n
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    chunk = _video_chunks(f, h, w, mesh, chunk_frames)
+
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
+    else:
+        table, run_table = _video_tables_sharded(
+            planes, cfg, mesh, chroma, chunk, ph, pw, bh_real * bw
+        )
+    lengths, codes = _codec._table_arrays(table)
+    run_lengths, run_codes = (
+        _codec._table_arrays(run_table) if cfg.coded_runs else (None, None)
+    )
+
+    step = _video_encode_step(
+        cfg, n_stripes_p, mesh, chroma, static=cfg.static_tables
+    )
+
+    out: list[cont.PlaneData] = []
+    for i0 in range(0, f, chunk):
+        sub = planes[i0 : i0 + chunk]
+        f_real = int(sub.shape[0])
+        f_pad = -(-f_real // n_data) * n_data
+        fr = jax.device_put(
+            _pad_frames(sub, cfg, ph, pw, f_pad), meshlib.frame_sharding(mesh)
+        )
+        if cfg.static_tables:
+            res = step(fr)
+        else:
+            res = step(fr, lengths, codes, run_lengths, run_codes)
+        block_bits = None
+        if cfg.decode_index:
+            packed, var_codes, block_bits = res
+        else:
+            packed, var_codes = res
+
+        all_bits = _host_full(packed.bit_lengths)
+        u_trim = bs.trim_units_count(all_bits, packed.units.shape[-1])
+        units = _host_full(packed.units[..., :u_trim])
+        var_np = _host_full(var_codes) if cfg.adaptive else None
+        bb_np = _host_full(block_bits) if block_bits is not None else None
+
+        for i in range(f_real):
+            ps = bs.PackedStripes(
+                units[i, :n_stripes], all_bits[i, :n_stripes]
+            )
+            out.append(cont.PlaneData(
+                width=w,
+                height=h,
+                table_lengths=table.lengths if table is not None else None,
+                vmin=_codec.DIRECT_VMIN,
+                variance_codes=(
+                    var_np[i][: bh_real * bw] if cfg.adaptive else None
+                ),
+                stripe_bits=np.asarray(
+                    all_bits[i, :n_stripes], np.uint32
+                ),
+                stripes=bs.stripes_to_bytes(ps),
+                run_table_lengths=(
+                    run_table.lengths if run_table is not None else None
+                ),
+                block_bits=(
+                    bb_np[i, :n_stripes].reshape(-1).astype(np.uint16)
+                    if bb_np is not None else None
+                ),
+            ))
+    return out
+
+
+def encode_video_sharded(
+    frames: np.ndarray,
+    cfg: CodecConfig,
+    mesh: Mesh,
+    chunk_frames: int | None = None,
+) -> list[bytes]:
+    """Sharded VideoCodec.encode: (F, H, W) grayscale or (F, H, W, 3) RGB
+    -> per-frame containers, byte-identical to the unsharded VideoCodec
+    for every mesh shape."""
+    from dct_tpu.models import video as _video
+
+    if cfg.chroma == "gray":
+        if frames.ndim != 3:
+            raise ValueError(f"expected (F, H, W), got {frames.shape}")
+        f, h, w = (int(x) for x in frames.shape)
+        per_frame = [
+            [p]
+            for p in encode_video_plane_batch_sharded(
+                np.asarray(frames, np.uint8), cfg, mesh,
+                chunk_frames=chunk_frames,
+            )
+        ]
+    else:
+        if frames.ndim != 4 or frames.shape[-1] != 3:
+            raise ValueError(
+                f"expected (F, H, W, 3) RGB for chroma={cfg.chroma}, "
+                f"got {frames.shape}"
+            )
+        from dct_tpu.models import rate_control as _rc
+
+        f, h, w = (int(x) for x in frames.shape[:3])
+        batches = _rc._video_plane_batches(frames, cfg, chunk_frames)
+        per_plane = [
+            encode_video_plane_batch_sharded(
+                batch, cfg, mesh, chroma=chroma, chunk_frames=chunk_frames
+            )
+            for batch, chroma in batches
+        ]
+        per_frame = [[pp[i] for pp in per_plane] for i in range(f)]
+    return [
+        cont.serialize(
+            cont.Container(config=cfg, width=w, height=h, planes=planes)
+        )
+        for planes in per_frame
+    ]
+
+
+def video_plane_batch_bits_sharded(
+    planes: np.ndarray,
+    cfg: CodecConfig,
+    mesh: Mesh,
+    chroma: bool,
+    chunk_frames: int | None,
+):
+    """Sharded video size probe: ((F, n_stripes) per-stripe bit counts,
+    table, run_table) — the mesh analog of rate_control._plane_batch_bits,
+    mesh-shape-invariant and equal to the unsharded counts."""
+    f, h, w = (int(x) for x in planes.shape)
+    bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
+        h, w, cfg, mesh
+    )
+    n = cfg.block_size
+    ph, pw = bh * n, bw * n
+    n_data = mesh.shape[meshlib.DATA_AXIS]
+    chunk = _video_chunks(f, h, w, mesh, chunk_frames)
+
+    if cfg.static_tables:
+        table = _codec._build_table(cfg, None)
+        run_table = _codec._build_run_table(cfg, None)
+    else:
+        table, run_table = _video_tables_sharded(
+            planes, cfg, mesh, chroma, chunk, ph, pw, bh_real * bw
+        )
+    lengths, codes = _codec._table_arrays(table)
+    run_lengths, run_codes = (
+        _codec._table_arrays(run_table) if cfg.coded_runs else (None, None)
+    )
+    step = _video_bits_step(cfg, n_stripes_p, mesh, chroma)
+    bits = []
+    for i0 in range(0, f, chunk):
+        sub = planes[i0 : i0 + chunk]
+        f_real = int(sub.shape[0])
+        f_pad = -(-f_real // n_data) * n_data
+        fr = jax.device_put(
+            _pad_frames(sub, cfg, ph, pw, f_pad), meshlib.frame_sharding(mesh)
+        )
+        b = np.asarray(step(fr, lengths, codes, run_lengths, run_codes))
+        bits.append(b[:f_real, :n_stripes])
+    return np.concatenate(bits, axis=0), table, run_table
 
 
 # ---------------------------------------------------------------------------
