@@ -174,6 +174,11 @@ def main() -> int:
         "s3b_t128": lambda x: call(k_split3_bithalf, x, msplit, tile=128),
         "s3b_t256": lambda x: call(k_split3_bithalf, x, msplit, tile=256),
         "s3b_t1024": lambda x: call(k_split3_bithalf, x, msplit, tile=1024),
+        "s3b_t2048": lambda x: call(k_split3_bithalf, x, msplit, tile=2048),
+        "s3b_t4096": lambda x: call(k_split3_bithalf, x, msplit, tile=4096),
+        "s3b_tp1024": lambda x: call(
+            k_split3_bithalf, x, msplit, tile=1024, parallel=True
+        ),
         "s3b_par": lambda x: call(k_split3_bithalf, x, msplit, parallel=True),
         "s3b_p256": lambda x: call(
             k_split3_bithalf, x, msplit, tile=256, parallel=True
@@ -234,7 +239,11 @@ def main() -> int:
             def body(i, acc):
                 pi, _ = jax.lax.optimization_barrier((p, acc))
                 zz = fn(pi)
-                return acc + jnp.sum(zz[:1].astype(jnp.int32))
+                # barrier the FULL output before slicing: otherwise XLA
+                # slices BEFORE any post-kernel reshape/layout copy and
+                # wrapper variants measure nothing but the kernel
+                zzb, _ = jax.lax.optimization_barrier((zz, acc))
+                return acc + jnp.sum(zzb[:1].astype(jnp.int32))
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
@@ -247,15 +256,23 @@ def main() -> int:
             float(fn(x))
         return (time.perf_counter() - t0) / args.iters
 
-    K = args.k
-    print(f"\nthroughput ({pixels/1e6:.1f} Mpix, K={K}):", flush=True)
+    # two LARGE trip counts (CLAUDE.md K-loop rule): a K=1 baseline makes
+    # the delta hostage to per-dispatch tunnel jitter (several ms against
+    # a ~0.2 ms body)
+    k1, k2 = 9, max(args.k, 33)
+    print(f"\nthroughput ({pixels/1e6:.1f} Mpix, K={k1}/{k2}):", flush=True)
     for name, fn in variants.items():
         if args.only and name not in args.only.split(","):
             continue
-        t1 = timed(make(fn, 1))
-        tk = timed(make(fn, K))
-        dt = (tk - t1) / (K - 1) if tk > t1 else t1
-        print(f"  {name:8s} {dt*1e3:7.3f} ms  {pixels/dt/1e9:7.2f} Gpix/s", flush=True)
+        t1 = timed(make(fn, k1))
+        tk = timed(make(fn, k2))
+        warn = ""
+        if tk > t1:
+            dt = (tk - t1) / (k2 - k1)
+        else:
+            dt, warn = t1 / k1, "  JITTER (tk<=t1)"
+        print(f"  {name:9s} {dt*1e3:7.3f} ms  {pixels/dt/1e9:7.2f} Gpix/s"
+              f"{warn}", flush=True)
     return 0
 
 

@@ -74,9 +74,15 @@ def _fused_encode(pixels, cfg, scale, chroma):
     if cfg.use_pallas:
         from dct_tpu.ops import transform_pallas
 
+        # out_dtype=int32: the consumers (RLE/pack) are int32, and an i16
+        # (B, 64) intermediate pays XLA's minor-dim-64 layout copy PLUS a
+        # separate convert when it materializes (benchmarks/
+        # wrapper_layout.py: 25 vs 32 Gpix/s materialized) — emit the
+        # final dtype straight from the kernel epilogue
         return transform_pallas.encode_blocks_pallas(
-            pixels, cfg, adaptive_scale=scale, chroma=chroma
-        ).astype(jnp.int32)
+            pixels, cfg, adaptive_scale=scale, chroma=chroma,
+            out_dtype=jnp.int32,
+        )
     return transform.encode_blocks(pixels, cfg, adaptive_scale=scale, chroma=chroma)
 
 
@@ -447,14 +453,19 @@ def _device_decode_prep(
     n_stripes: int,
     bps: int,
     run_table=None,
+    u_max: int | None = None,
 ):
     """Host prep for the device entropy decode: the stripes' unit arrays
-    + ops/entropy_decode_pallas.decode_args. None -> host decoder."""
+    + ops/entropy_decode_pallas.decode_args. None -> host decoder.
+
+    u_max overrides the unit-buffer bucket — batched decode passes one
+    shared bucket so per-frame operand arrays stack."""
     from dct_tpu.ops import entropy_decode_pallas as edp
 
     n2 = cfg.n2
     u_per = [(len(s) + 1) // 2 for s in p.stripes]
-    u_max = max(1, -(-max(u_per) // 1024) * 1024)  # bucket compile shapes
+    if u_max is None:
+        u_max = max(1, -(-max(u_per) // 1024) * 1024)  # bucket shapes
     units = np.zeros((n_stripes, u_max), np.int32)
     for s, data in enumerate(p.stripes):
         if len(data) % 2:
@@ -509,6 +520,49 @@ def _device_decode_plane_step(
     n = cfg.block_size
     img = blk.blocks_to_image(pixels, bh * n, bw * n, n)
     return img[:height, :width]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chroma", "edp_statics", "bh", "bw", "n_stripes",
+        "height", "width",
+    ),
+)
+def _device_decode_batch_step(
+    arrays,
+    var_codes,
+    cfg: CodecConfig,
+    chroma: bool,
+    edp_statics,
+    bh: int,
+    bw: int,
+    n_stripes: int,
+    height: int,
+    width: int,
+):
+    """Batched _device_decode_plane_step: operands carry a leading frame
+    axis; ONE dispatch entropy-decodes + reconstructs the whole stack
+    (vmap of the Pallas decode kernel = one extra grid dimension). The
+    video decode path uses this so an F-frame stack costs one tunnel
+    round trip instead of F."""
+    from dct_tpu.ops import entropy_decode_pallas as edp
+
+    statics = dict(edp_statics)
+
+    def one(ops, vc):
+        zz = edp.decode_call(*ops, **statics)
+        if cfg.dc_prediction:
+            zz = dc_reconstruct(zz, n_stripes)
+        scale = None
+        if cfg.adaptive:
+            scale = quant.scale_from_variance_code(vc)
+        pixels = _fused_decode(zz, cfg, scale, chroma)
+        n = cfg.block_size
+        return blk.blocks_to_image(pixels, bh * n, bw * n, n)
+
+    imgs = jax.vmap(one)(arrays, var_codes)
+    return imgs[:, :height, :width]
 
 
 def decode_plane_device(

@@ -365,6 +365,47 @@ class VideoCodec:
             hf.CanonicalTable(p0.run_table_lengths) if cfg.coded_runs else None
         )
 
+        # indexed containers: ONE batched on-device decode dispatch for
+        # the whole stack (entropy decode + reconstruct, no coefficient
+        # upload) — F frames cost one tunnel round trip instead of F
+        if all(
+            _codec._device_decode_ok(c.planes[plane_idx], cfg) for c in conts
+        ):
+            u_max = max(
+                1,
+                -(-max(
+                    (len(s) + 1) // 2
+                    for c in conts for s in c.planes[plane_idx].stripes
+                ) // 1024) * 1024,
+            )
+            preps = [
+                _codec._device_decode_prep(
+                    c.planes[plane_idx], cfg, table, mode, n_stripes, bps,
+                    run_table, u_max=u_max,
+                )
+                for c in conts
+            ]
+            if all(p is not None for p in preps) and len(
+                {tuple(sorted(p[1].items())) for p in preps}
+            ) == 1:
+                arrays = tuple(
+                    jnp.stack([np.asarray(p[0][i]) for p in preps])
+                    for i in range(len(preps[0][0]))
+                )
+                if cfg.adaptive:
+                    vc = jnp.asarray(np.stack([
+                        np.asarray(c.planes[plane_idx].variance_codes)
+                        for c in conts
+                    ]))
+                else:
+                    vc = jnp.zeros((len(conts), 1), jnp.uint8)
+                return _codec._device_decode_batch_step(
+                    arrays, vc, cfg=cfg, chroma=chroma,
+                    edp_statics=tuple(sorted(preps[0][1].items())),
+                    bh=bh, bw=bw, n_stripes=n_stripes,
+                    height=p0.height, width=p0.width,
+                )
+
         zz = np.stack([
             _decode_stripes(
                 c.planes[plane_idx], cfg, table, mode, n_stripes, bps,

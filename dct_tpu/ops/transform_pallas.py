@@ -44,7 +44,12 @@ from dct_tpu import tables
 # 256 KB per f32 value — comfortable in VMEM with double buffering.
 # Measured: 256 -> 512 helps (+28%% with the cheap rounding); 1024 hurts
 # (fewer cells in flight reduces pipeline overlap).
-TILE_ROWS = 512
+# Rows of 128 packed pixels per grid cell. 2048 measured 1.42x faster
+# than 512 on hardware (210 vs 148 Gpix/s, benchmarks/dct_experiments.py
+# s3b_t2048 vs s3bit, K=9/129 same-session 2026-08-19): 8x fewer grid
+# iterations pipeline better and the ~1 MB f32 intermediate still fits
+# VMEM double-buffered. 4096 was also measured — see BASELINE.md.
+TILE_ROWS = 2048
 
 def _half(y):
     # round-half-away folded into the int conversion: f32->int converts
@@ -100,7 +105,7 @@ def _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref):
 
 def _encode_kernel(x_ref, m0_ref, m1_ref, m2_ref, b_ref, o_ref):
     y = _split_matmul(x_ref, m0_ref, m1_ref, m2_ref, b_ref)
-    o_ref[:] = (y + _half(y)).astype(jnp.int16)
+    o_ref[:] = (y + _half(y)).astype(o_ref.dtype)
 
 
 def _encode_kernel_adaptive(
@@ -115,7 +120,7 @@ def _encode_kernel_adaptive(
     # pltpu.repeat TILES (abab...), it does not element-repeat.
     r = _expand_block_scale(s_ref[:], n2)
     y = jnp.where(mask_ref[:] != 0, y * r, y)
-    o_ref[:] = (y + _half(y)).astype(jnp.int16)
+    o_ref[:] = (y + _half(y)).astype(o_ref.dtype)
 
 
 def _decode_kernel(z_ref, m_ref, o_ref):
@@ -159,8 +164,9 @@ def encode_blocks_pallas(
     adaptive_scale: jax.Array | None = None,
     chroma: bool = False,
     packed_io: bool = False,
+    out_dtype=jnp.int16,
 ) -> jax.Array:
-    """Fused encode on TPU: (B, n^2) u8 -> (B, n^2) int16 zigzag coeffs.
+    """Fused encode on TPU: (B, n^2) u8 -> (B, n^2) int zigzag coeffs.
 
     Semantics identical to ops.transform.encode_blocks (tested equal);
     adaptive_scale is the per-block quantize-divisor scale in [1.0, 1.9].
@@ -169,6 +175,13 @@ def encode_blocks_pallas(
     must be a TILE_ROWS multiple). XLA inserts a layout-changing COPY for
     i16 minor-dim-64 outputs, which the production fused path never pays —
     benchmarks measuring the KERNEL (bench.py's mfu) use this to skip it.
+
+    out_dtype: the kernel's store dtype (same integers either way). The
+    production staged consumer (codec._fused_encode) asks for int32: it
+    widens to int32 anyway, and an int16 (B, 64) intermediate pays BOTH
+    the i16 minor-dim-64 layout copy AND a separate convert — emitting
+    int32 from the kernel epilogue replaces 3 output passes over HBM with
+    one (measured: benchmarks/wrapper_layout.py).
     """
     n2 = cfg.n2
     if n2 not in (4, 16, 64):
@@ -180,7 +193,7 @@ def encode_blocks_pallas(
         out = transform.encode_blocks(
             pixels_flat, cfg, adaptive_scale=adaptive_scale, chroma=chroma
         )
-        return out.astype(jnp.int16)
+        return out.astype(out_dtype)
     bpr = 128 // n2
     if packed_io:
         if cfg.adaptive or pixels_flat.shape[-1] != 128:
@@ -194,7 +207,7 @@ def encode_blocks_pallas(
     grid = (rows // TILE_ROWS,)
     mspec = pl.BlockSpec((128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     kwargs = dict(
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int16),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), out_dtype),
         grid=grid,
         out_specs=pl.BlockSpec(
             (TILE_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
