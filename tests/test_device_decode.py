@@ -204,3 +204,31 @@ def test_unindexed_or_unsupported_falls_back_to_host(force_device_decode):
         np.zeros((1, 128), np.int32), np.zeros((1, 4), np.int64),
         1, 64, "category", t,
     ) is None
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(),
+        dict(adaptive=True, coded_runs=True, dc_prediction=True),
+        dict(huffman_mode="direct"),
+    ],
+    ids=["plain", "adaptive+runs+dc", "direct"],
+)
+def test_batched_video_device_decode(force_device_decode, kw):
+    """Indexed frame stacks decode in ONE batched device dispatch
+    (codec._device_decode_batch_step, the vmapped Pallas decode kernel)
+    pixel-identical to the host decoders."""
+    from dct_tpu.models.video import VideoCodec
+
+    frames = np.stack([
+        np.asarray(image_io.synthetic_image(40, 64, "photo", seed=s))
+        for s in range(4)
+    ])
+    cfg = CodecConfig(quality=45, decode_index=True, use_pallas=True, **kw)
+    streams = VideoCodec(cfg).encode(frames)
+    dev = VideoCodec(cfg).decode(streams)
+    codec._FORCE_DEVICE_DECODE = False
+    host = np.stack([codec.decode(s) for s in streams])
+    codec._FORCE_DEVICE_DECODE = True
+    np.testing.assert_array_equal(dev, host)
