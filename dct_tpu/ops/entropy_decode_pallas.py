@@ -155,11 +155,12 @@ def _decode_kernel(
     boff = g8[0:1, :]
     bbits = g8[1:2, :]
     base_u = base_ref[0, 0, 0, 0]
-    first_u = _srl(boff, 4) - base_u  # window offset within the region
+    first_u = _srl(boff, 4)  # ABSOLUTE first unit of each lane's block
+    first_rel = first_u - base_u  # its offset within the region
     region = col_scr[pl.ds(pl.multiple_of(base_u, 128), SPAN), :]
     span_scr[:] = jax.lax.broadcast_in_dim(region, (SPAN, 128), (0, 1))
     for b in range(SPAN.bit_length() - 1):
-        cond = ((first_u >> b) & 1) == 1
+        cond = ((first_rel >> b) & 1) == 1
         span_scr[:] = jnp.where(
             cond, pltpu.roll(span_scr[:], SPAN - (1 << b), axis=0),
             span_scr[:],

@@ -80,6 +80,23 @@ def test_device_decode_block_sizes(force_device_decode, n):
     np.testing.assert_array_equal(host, dev)
 
 
+def test_device_decode_wide_image_multichunk(force_device_decode):
+    """Regression: stripes wider than 128 blocks split into several grid
+    cells, and every cell past the first has a nonzero 128-aligned region
+    base. The kernel's window fetch subtracted the REGION-RELATIVE first
+    unit from the ABSOLUTE bit cursor, so every block in chunk >= 1
+    decoded garbage (caught on real hardware at 1080p, round 5 — every
+    prior test image was < 1024 px wide)."""
+    im = image_io.synthetic_image(16, 2048, "photo", seed=0)
+    cfg = CodecConfig(quality=50, decode_index=True, use_pallas=True)
+    data = codec.ImageCodec(cfg).encode(np.asarray(im))
+    codec._FORCE_DEVICE_DECODE = False
+    host = codec.ImageCodec(cfg).decode(data)
+    codec._FORCE_DEVICE_DECODE = True
+    dev = np.asarray(codec.ImageCodec(cfg).decode_to_device(data))
+    np.testing.assert_array_equal(host, dev)
+
+
 def test_block_bits_match_staged_and_fused():
     """The fused kernel's bbits output == the staged chunk-length sums,
     and both sum to the stripe bit lengths."""
