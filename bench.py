@@ -303,6 +303,22 @@ def main() -> None:
                 for s in sums:
                     float(s)
 
+            # the number is only meaningful if the kernel decodes
+            # correctly — round 4's figure timed a kernel that produced
+            # garbage for every block past lane 128 of a stripe (the
+            # multi-chunk window bug), and the sum-only harness hid it
+            dev_px = np.asarray(dec_ix.decode_to_device(datas_ix[0]))
+            # use_pallas=False forces the host entropy decoder (einsum
+            # IDCT — byte-identical to the Pallas one, a tested invariant)
+            host_px = np.asarray(
+                codec.ImageCodec(cfg_ix.replace(use_pallas=False)).decode(
+                    datas_ix[0]
+                )
+            )
+            assert np.array_equal(dev_px, host_px), (
+                "device decode != host decode — not benchmarking this"
+            )
+
             once_ix()  # compile (first decode-kernel shape: ~1-3 min)
             best_ix = float("inf")
             for _ in range(3):

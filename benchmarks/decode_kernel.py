@@ -39,6 +39,11 @@ def main() -> int:
     ap.add_argument("--coded-runs", action="store_true")
     ap.add_argument("--k", type=int, nargs=2, default=(9, 129))
     ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--syms", type=int, default=2, choices=[1, 2],
+                    help="symbols decoded per while_loop iteration")
+    ap.add_argument("--worst-geometry", action="store_true",
+                    help="round-4 style worst-case W + SPAN_MAX roll span "
+                         "instead of the data-driven geometry")
     args = ap.parse_args()
 
     import jax
@@ -79,15 +84,31 @@ def main() -> int:
             u_max, max((len(s) + 1) // 2 for s in c.planes[0].stripes)
         )
     u_max = max(1, -(-u_max // 1024) * 1024)
+    from dct_tpu.ops import entropy_decode_pallas as edp
+
+    if args.worst_geometry:
+        n2 = ccfg.n2
+        from dct_tpu.ops import bitstream as bs
+
+        w_shared = edp.window_units(
+            n2, mode, args.coded_runs, bs.run_field_bits(n2)
+        )
+        span_shared = edp.SPAN_MAX
+    else:
+        w_shared, span_shared = edp.plan_geometry(
+            [c.planes[0].block_bits for c in parsed], n_stripes
+        )
     preps = []
     for c in parsed:
         # per-frame tables (direct mode builds them per image)
         f_mode, f_table, f_run = recovery._table(c.planes[0], ccfg)
         prep = codec._device_decode_prep(
             c.planes[0], ccfg, f_table, f_mode, n_stripes, bps, f_run,
-            u_max=u_max,
+            u_max=u_max, w_units=w_shared, span=span_shared,
         )
         assert prep is not None, "geometry/table fell back to host decode"
+        if args.syms != 2:
+            prep[1]["syms"] = args.syms
         preps.append(prep)
     statics = preps[0][1]
     arrays = tuple(

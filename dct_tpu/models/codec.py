@@ -454,12 +454,15 @@ def _device_decode_prep(
     bps: int,
     run_table=None,
     u_max: int | None = None,
+    w_units: int | None = None,
+    span: int | None = None,
 ):
     """Host prep for the device entropy decode: the stripes' unit arrays
     + ops/entropy_decode_pallas.decode_args. None -> host decoder.
 
-    u_max overrides the unit-buffer bucket — batched decode passes one
-    shared bucket so per-frame operand arrays stack."""
+    u_max/w_units/span override the unit-buffer bucket and the window
+    geometry — batched decode passes shared values so per-frame operand
+    arrays stack and the statics match (edp.plan_geometry)."""
     from dct_tpu.ops import entropy_decode_pallas as edp
 
     n2 = cfg.n2
@@ -483,6 +486,8 @@ def _device_decode_prep(
         vmin=DIRECT_VMIN,
         run_table=run_table,
         run_bits=bs.run_field_bits(n2),
+        w_units=w_units,
+        span=span,
     )
 
 

@@ -371,6 +371,8 @@ class VideoCodec:
         if all(
             _codec._device_decode_ok(c.planes[plane_idx], cfg) for c in conts
         ):
+            from dct_tpu.ops import entropy_decode_pallas as edp
+
             u_max = max(
                 1,
                 -(-max(
@@ -378,13 +380,20 @@ class VideoCodec:
                     for c in conts for s in c.planes[plane_idx].stripes
                 ) // 1024) * 1024,
             )
+            # shared window geometry: per-frame data-driven W/span would
+            # differ across frames, so the batch uses the maxima
+            geo = edp.plan_geometry(
+                [c.planes[plane_idx].block_bits for c in conts], n_stripes
+            )
             preps = [
                 _codec._device_decode_prep(
                     c.planes[plane_idx], cfg, table, mode, n_stripes, bps,
                     run_table, u_max=u_max,
+                    w_units=geo[0] if geo else None,
+                    span=geo[1] if geo else None,
                 )
                 for c in conts
-            ]
+            ] if geo is not None else [None]
             if all(p is not None for p in preps) and len(
                 {tuple(sorted(p[1].items())) for p in preps}
             ) == 1:
