@@ -82,6 +82,9 @@ def sample_config(rng) -> CodecConfig:
         dc_prediction=bool(rng.integers(0, 2)),
         stripe_rows=int(rng.choice([1, 1, 2, 3, 4])),
         chroma="gray",  # set by the caller for color iterations
+        # container v2 (per-block decode index + the device entropy
+        # decoder downstream) rides the same lattice — VERDICT r4 item 7
+        decode_index=bool(rng.integers(0, 2)),
     )
 
 
@@ -161,6 +164,76 @@ def check_gray(img: np.ndarray, cfg: CodecConfig, rng) -> None:
         r1 = int(rng.integers(r0 + 1, img.shape[0] + 1))
         band = recovery.decode_region(data, r0, r1)
         assert np.array_equal(band, rec[r0:r1]), "region decode mismatch"
+
+    # container v2: the DEVICE entropy decoder (interpret mode) must match
+    # the host decoders pixel-exactly on the production decode path, and
+    # hostile decode indexes must be rejected, not decoded
+    if cfg.decode_index:
+        parsed = cont.deserialize(data)
+        p = parsed.planes[0]
+        if int(rng.integers(0, 2)):
+            dev_codec = codec.ImageCodec(cfg.replace(use_pallas=True))
+            old = codec._FORCE_DEVICE_DECODE
+            codec._FORCE_DEVICE_DECODE = True
+            try:
+                dev = np.asarray(dev_codec.decode_to_device(data))
+            finally:
+                codec._FORCE_DEVICE_DECODE = old
+            assert np.array_equal(dev, rec), "device decoder != host pixels"
+        # (a) inconsistent index: poke one entry -> serialize rejects
+        p_bad = cont.PlaneData(
+            width=p.width, height=p.height, table_lengths=p.table_lengths,
+            vmin=p.vmin, variance_codes=p.variance_codes,
+            stripe_bits=p.stripe_bits, stripes=p.stripes,
+            run_table_lengths=p.run_table_lengths,
+            block_bits=p.block_bits.copy(),
+        )
+        p_bad.block_bits = p_bad.block_bits.astype(np.int64)
+        i = int(rng.integers(0, p_bad.block_bits.size))
+        p_bad.block_bits[i] += int(rng.integers(1, 17))
+        try:
+            cont.serialize(cont.Container(
+                config=parsed.config, width=parsed.width,
+                height=parsed.height, planes=[p_bad],
+            ))
+            raise AssertionError("inconsistent decode index not rejected")
+        except ValueError:
+            pass
+        # (b) truncated index -> serialize rejects (divisibility or sums)
+        p_tr = cont.PlaneData(
+            width=p.width, height=p.height, table_lengths=p.table_lengths,
+            vmin=p.vmin, variance_codes=p.variance_codes,
+            stripe_bits=p.stripe_bits, stripes=p.stripes,
+            run_table_lengths=p.run_table_lengths,
+            block_bits=p.block_bits[:-1].copy(),
+        )
+        # a single-stripe index whose last block is 0 bits CAN truncate
+        # to a consistent (shorter) index; only flag the cases the
+        # format promises to reject
+        must_reject = len(p.stripes) > 1 or (
+            p.block_bits.size > 0 and int(p.block_bits[-1]) > 0
+        )
+        try:
+            cont.serialize(cont.Container(
+                config=parsed.config, width=parsed.width,
+                height=parsed.height, planes=[p_tr],
+            ))
+            assert not must_reject, "truncated decode index not rejected"
+        except ValueError:
+            pass
+        # (c) on-wire index bit flip -> deserialize rejects (only when the
+        # index bytes locate uniquely — payload bytes can collide)
+        idx_bytes = p.block_bits.astype("<u2").tobytes()
+        off = data.find(idx_bytes)
+        if off > 0 and len(idx_bytes) >= 8 and data.count(idx_bytes) == 1:
+            j = int(rng.integers(0, len(idx_bytes)))
+            bad_wire = bytearray(data)
+            bad_wire[off + j] ^= int(rng.integers(1, 256))
+            try:
+                cont.deserialize(bytes(bad_wire))
+                raise AssertionError("hostile wire index not rejected")
+            except ValueError:
+                pass
 
     # repair byte-identity after stripe corruption. A flip can land in a
     # stripe's byte-padding bits (invisible to the decoder) or mutate a

@@ -66,11 +66,15 @@ from jax.experimental.pallas import tpu as pltpu
 from dct_tpu.ops._mosaic import interpret as _interpret
 from dct_tpu.ops import huffman as hf
 
-# Upper bound on the per-cell region span (the round-4 fixed value). A
-# cell's 128 blocks must span at most SPAN_MAX - W units from the first
-# block's unit; wider cells (pathologically dense stripes) fall back to
-# the host decoder via `decode_args` before the kernel is ever traced.
-SPAN_MAX = 4096
+# Upper bound on the per-cell region span. A cell's 128 blocks must span
+# at most SPAN_MAX - W units from the first block's unit; wider cells
+# (pathologically dense stripes) fall back to the host decoder via
+# `decode_args` before the kernel is ever traced. Round 4 fixed the span
+# at 4096 for every stream; now that it is data-driven (only dense
+# content allocates big), the cap is one power higher — q97-dense 1080p
+# stripes (240 blocks x ~500 bits ~ 4200+ units) stay on device with a
+# 4 MB roll scratch instead of falling back to the host loop.
+SPAN_MAX = 8192
 
 _ESC_SENTINEL = 1 << 20  # marks the ESC slot in the direct value table
 

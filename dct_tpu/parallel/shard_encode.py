@@ -504,12 +504,130 @@ def encode_image_sharded(
     return cont.serialize(c)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "chroma", "edp_statics", "mesh", "n_loc", "bh_loc", "bw",
+    ),
+)
+def _device_decode_step_sharded(
+    arrays, var_codes, cfg: CodecConfig, chroma: bool, edp_statics,
+    mesh: Mesh, n_loc: int, bh_loc: int, bw: int,
+):
+    """shard_map'd DEVICE entropy decode + reconstruct: each device runs
+    the Pallas decode kernel (ops/entropy_decode_pallas.py) on ITS
+    stripes' units/geometry, then dc-unpredict + dequant+IDCT + image
+    assembly locally — zero collectives (stripes are independent
+    substreams; only the tiny canonical tables are replicated). The
+    sharded mirror of codec._device_decode_plane_step, and the piece
+    VERDICT r4 item 6 asked for: a v2 container's entropy stage never
+    runs on the host for any mesh shape."""
+    from dct_tpu.models.codec import _fused_decode, dc_reconstruct
+    from dct_tpu.ops import blocks as blk
+    from dct_tpu.ops import entropy_decode_pallas as edp
+    from dct_tpu.ops import quant
+
+    n = cfg.block_size
+    in_specs = (
+        (P(meshlib.STRIPE_AXIS, None),) * 3 + (P(),) * 9,
+        P(meshlib.STRIPE_AXIS, None) if cfg.adaptive else P(),
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=P(meshlib.STRIPE_AXIS, None),
+        check_vma=False,  # Pallas out_shapes carry vma=None (see encode)
+    )
+    def step(ops, vc):
+        zz = edp.decode_call(*ops, **dict(edp_statics))
+        if cfg.dc_prediction:
+            zz = dc_reconstruct(zz, n_loc)
+        scale = None
+        if cfg.adaptive:
+            scale = quant.scale_from_variance_code(vc.reshape(-1))
+        px = _fused_decode(zz, cfg, scale, chroma)
+        return blk.blocks_to_image(px, bh_loc * n, bw * n, n)
+
+    return step(arrays, var_codes)
+
+
+def _device_decode_plane_sharded(
+    p: cont.PlaneData, cfg: CodecConfig, mesh: Mesh, chroma: bool,
+    table, mode: str, run_table, bh: int, bw: int, n_stripes: int,
+    bps: int,
+):
+    """Indexed (container v2) plane -> row-sharded u8 plane with the
+    entropy stage ON DEVICE under shard_map. None -> caller's host path.
+
+    Mesh-pad stripes (all-zero units, zero-bit geometry) make the stripe
+    count divide the mesh; their lanes are born inactive (bit length 0)
+    so the decode loop never runs for them, and their zero coefficients
+    decode to blank rows that the final crop discards."""
+    prep = _codec._device_decode_prep(
+        p, cfg, table, mode, n_stripes, bps, run_table
+    )
+    if prep is None:
+        return None
+    arrays, statics = prep
+    n_dev = mesh.shape[meshlib.STRIPE_AXIS]
+    ns_pad = -(-n_stripes // n_dev) * n_dev
+    pad = ns_pad - n_stripes
+    units, geom, bases, *tabs = arrays
+    if pad:
+        units = np.concatenate(
+            [units, np.zeros((pad,) + units.shape[1:], units.dtype)]
+        )
+        geom = np.concatenate(
+            [geom, np.zeros((pad,) + geom.shape[1:], geom.dtype)]
+        )
+        bases = np.concatenate(
+            [bases, np.zeros((pad,) + bases.shape[1:], bases.dtype)]
+        )
+    if cfg.adaptive:
+        codes = np.asarray(p.variance_codes).reshape(n_stripes, bps)
+        if pad:
+            codes = np.concatenate(
+                [codes, np.zeros((pad, bps), codes.dtype)]
+            )
+        vc = jax.device_put(
+            jnp.asarray(codes),
+            NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None)),
+        )
+    else:
+        vc = jnp.zeros((1, 1), jnp.uint8)
+    stripe_sh = NamedSharding(mesh, P(meshlib.STRIPE_AXIS, *(
+        (None,) * (units.ndim - 1)
+    )))
+    ops = (
+        jax.device_put(jnp.asarray(units), stripe_sh),
+        jax.device_put(
+            jnp.asarray(geom), NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None, None, None))
+        ),
+        jax.device_put(
+            jnp.asarray(bases), NamedSharding(mesh, P(meshlib.STRIPE_AXIS, None, None, None))
+        ),
+        *(jnp.asarray(t) for t in tabs),
+    )
+    rows_per_stripe = bh // n_stripes
+    img = _device_decode_step_sharded(
+        ops, vc, cfg=cfg, chroma=chroma,
+        edp_statics=tuple(sorted(statics.items())),
+        mesh=mesh, n_loc=ns_pad // n_dev,
+        bh_loc=(ns_pad // n_dev) * rows_per_stripe, bw=bw,
+    )
+    return img[: p.height, : p.width]
+
+
 def _decode_plane_sharded(
     p: cont.PlaneData, cfg: CodecConfig, mesh: Mesh, chroma: bool = False
 ) -> jax.Array:
     """One container plane -> u8 pixel plane on the mesh (row-sharded).
 
-    Entropy decode runs on the host (per-stripe, C++ thread pool); the
+    With a decode index (container v2) the entropy stage runs ON DEVICE
+    under shard_map (_device_decode_plane_sharded). Otherwise entropy
+    decode runs on the host (per-stripe, C++ thread pool); the
     coefficient grid is placed with stripes over the mesh's stripe axis and
     ONE sharded dequant+IDCT dispatch reconstructs pixel rows in place — no
     cross-device traffic at all (8x8 blocks share no pixels, SURVEY.md
@@ -524,6 +642,14 @@ def _decode_plane_sharded(
     run_table = (
         hf.CanonicalTable(p.run_table_lengths) if cfg.coded_runs else None
     )
+
+    if _codec._device_decode_ok(p, cfg):
+        img = _device_decode_plane_sharded(
+            p, cfg, mesh, chroma, table, mode, run_table, bh, bw,
+            n_stripes, bps,
+        )
+        if img is not None:
+            return img
 
     zz = _decode_stripes(
         p, cfg, table, mode, n_stripes, bps, run_table
@@ -591,16 +717,26 @@ def _decode_step_sharded(
     return step
 
 
-def decode_image_sharded(data: bytes, mesh: Mesh) -> jax.Array:
+def decode_image_sharded(
+    data: bytes, mesh: Mesh, use_pallas: bool | None = None
+) -> jax.Array:
     """Sharded decode: container bytes -> u8 pixels on the mesh.
 
     The mirror of encode_image_sharded. Grayscale containers return a
     row-sharded (H, W) plane; color containers decode each plane sharded,
     then upsample + YCbCr->RGB in one jitted dispatch (XLA inserts any
     resharding the differently-sized chroma grids need). np.asarray() the
-    result to land on host."""
+    result to land on host.
+
+    use_pallas is an execution preference, NOT wire state (the container
+    flags carry only semantic knobs — see ImageCodec.decode): None means
+    kernels on TPU, einsum elsewhere. With the Pallas path active and a
+    container v2 decode index present, the ENTROPY stage also runs on
+    device under shard_map (_device_decode_plane_sharded)."""
     c = cont.deserialize(data)
-    cfg = c.config
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    cfg = c.config.replace(use_pallas=use_pallas)
     if cfg.chroma == "gray":
         return _decode_plane_sharded(c.planes[0], cfg, mesh)
 

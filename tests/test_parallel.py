@@ -291,3 +291,68 @@ class TestPallasUnderShardMap:
         from dct_tpu.models import color as _color
         want = np.asarray(_color.ColorImageCodec(cfg).decode(blob))
         np.testing.assert_array_equal(rec, want)
+
+
+class TestShardedDeviceDecode:
+    """Sharded DEVICE entropy decode: container-v2 planes decode with the
+    Pallas entropy kernel under shard_map (zero collectives — stripes are
+    independent substreams), byte-identical to the host decoders for
+    every mesh shape, including meshes the stripe count doesn't divide
+    (mesh-pad stripes decode as born-dead lanes)."""
+
+    @staticmethod
+    def _spy_device_path(monkeypatch):
+        """The sharded device decode must actually RUN (not fall back to
+        the host path, which would make the identity check vacuous)."""
+        called = []
+        orig = shard_encode._device_decode_plane_sharded
+
+        def spy(*a, **k):
+            out = orig(*a, **k)
+            assert out is not None, "device decode prep fell back"
+            called.append(1)
+            return out
+
+        monkeypatch.setattr(
+            shard_encode, "_device_decode_plane_sharded", spy
+        )
+        return called
+
+    @pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+    def test_identical_across_meshes(self, n_dev, monkeypatch):
+        im = np.asarray(image_io.synthetic_image(48, 64, "photo", seed=9))
+        cfg = CodecConfig(
+            quality=45, decode_index=True, use_pallas=True, adaptive=True,
+            coded_runs=True, dc_prediction=True,
+        )
+        data = codec.ImageCodec(cfg).encode(im)
+        host = codec.ImageCodec(cfg).decode(data)  # host entropy decode
+        monkeypatch.setattr(codec, "_FORCE_DEVICE_DECODE", True)
+        called = self._spy_device_path(monkeypatch)
+        mesh = meshlib.make_mesh(devices=jax.devices()[:n_dev])
+        dev = np.asarray(
+            shard_encode.decode_image_sharded(data, mesh, use_pallas=True)
+        )
+        assert called, "sharded decode never took the device entropy path"
+        np.testing.assert_array_equal(host, dev)
+
+    def test_color_indexed(self, monkeypatch):
+        cfg = CodecConfig(quality=50, decode_index=True, use_pallas=True,
+                          chroma="420")
+        base = image_io.synthetic_image(64, 48, "photo", seed=2)
+        rgb = np.stack(
+            [np.clip(base.astype(np.int32) + d, 0, 255).astype(np.uint8)
+             for d in (-20, 0, 25)], axis=-1,
+        )
+        from dct_tpu.models import color as _color
+
+        blob = _color.ColorImageCodec(cfg).encode(rgb)
+        host = np.asarray(_color.ColorImageCodec(cfg).decode(blob))
+        monkeypatch.setattr(codec, "_FORCE_DEVICE_DECODE", True)
+        called = self._spy_device_path(monkeypatch)
+        mesh = meshlib.make_mesh()
+        dev = np.asarray(
+            shard_encode.decode_image_sharded(blob, mesh, use_pallas=True)
+        )
+        assert len(called) == 3, "expected all three planes on device"
+        np.testing.assert_array_equal(host, dev)
