@@ -113,9 +113,9 @@ def main() -> None:
                 # ever be CSE'd/collapsed by XLA (i & 1 would leave only
                 # two unique bodies)
                 f = fr ^ (i & 255).astype(jnp.uint8)
-                packed, _ = jax.vmap(
+                packed = jax.vmap(
                     lambda im: codec.encode_step(im, cfg, n_stripes)
-                )(f)
+                )(f)[0]
                 # Reduce on device: forces the full pipeline to execute
                 # while the timed fetch stays 4 bytes (block_until_ready
                 # alone under-reports through the axon relay, and fetching

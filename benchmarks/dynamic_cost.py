@@ -137,11 +137,11 @@ def main() -> int:
     lengths, codes = codec._table_arrays(table)
 
     def fused_body(f):
-        packed, _ = jax.vmap(
+        packed = jax.vmap(
             lambda im: codec.encode_fused_step(
                 im, cfg, n_stripes, lengths, codes
             )
-        )(f)
+        )(f)[0]
         return jnp.sum(packed.bit_lengths)
 
     t_fused = kdelta(loop(fused_body), fr)
@@ -198,11 +198,11 @@ def main() -> int:
     dl, dc = codec._table_arrays(t_d)
 
     def direct_body(f):
-        packed, _ = jax.vmap(
+        packed = jax.vmap(
             lambda im: codec.encode_fused_step(
                 im, cfg_d, n_stripes, dl, dc
             )
-        )(f)
+        )(f)[0]
         return jnp.sum(packed.bit_lengths)
 
     t_direct = kdelta(loop(direct_body), fr)

@@ -223,7 +223,7 @@ def check_gray(img: np.ndarray, cfg: CodecConfig, rng) -> None:
             pass
         # (c) on-wire index bit flip -> deserialize rejects (only when the
         # index bytes locate uniquely — payload bytes can collide)
-        idx_bytes = p.block_bits.astype("<u2").tobytes()
+        idx_bytes = cont.pack_index(p.block_bits)[1]
         off = data.find(idx_bytes)
         if off > 0 and len(idx_bytes) >= 8 and data.count(idx_bytes) == 1:
             j = int(rng.integers(0, len(idx_bytes)))

@@ -7,9 +7,12 @@ plus a synthetic photo at q in {10, 50, 90, 97} with decode_index off
 and on and prints the per-image and aggregate overhead — the evidence
 for the auto-enable threshold (VERDICT r4 item 3).
 
-The index costs exactly flags2 + 2 B/block on the wire
-(container.py v2), so the interesting number is that constant relative
-to the payload each quality produces.
+The index is bit-packed at the narrowest per-plane width (container.py
+flags2 bit1), so the cost is data-dependent: roughly
+width(max block bits)/8 bytes per block relative to the payload each
+quality produces. The round-5 u16 measurements (48%/21%/6.5%/3.3% at
+q10/50/90/97) are recorded in BASELINE.md; this script now reports the
+packed format.
 
 CPU-only (container bytes are backend-invariant — a tested invariant).
 Usage: python benchmarks/index_cost.py

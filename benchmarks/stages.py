@@ -79,7 +79,7 @@ def main() -> int:
         )(sym)
 
     def full(fr):
-        packed, _ = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)
+        packed = jax.vmap(lambda im: codec.encode_step(im, cfg, n_stripes))(fr)[0]
         return packed
 
     ladder = [

@@ -63,9 +63,9 @@ def main() -> int:
         def run(fr):
             def body(i, acc):
                 f, _ = jax.lax.optimization_barrier((fr, acc))
-                packed, _ = jax.vmap(
+                packed = jax.vmap(
                     lambda im: codec.encode_step(im, cfg, n_stripes)
-                )(f)
+                )(f)[0]
                 return acc + jnp.sum(packed.bit_lengths)
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))

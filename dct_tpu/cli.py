@@ -40,10 +40,12 @@ def _add_codec_args(p: argparse.ArgumentParser) -> None:
                    help="color mode (default: gray for 2D input, 420 for RGB)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas kernels (TPU)")
-    p.add_argument("--decode-index", action="store_true",
-                   help="store per-block bit lengths (container v2, "
-                        "~2 B/block) so decode's entropy stage can run "
-                        "on-device (decode-to-device)")
+    p.add_argument("--decode-index", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="store bit-packed per-block bit lengths "
+                        "(container v2) so decode's entropy stage can "
+                        "run on-device; 'auto' (default) includes the "
+                        "index only when it costs <= 6%% of the payload")
     p.add_argument("--compat-b1", action="store_true",
                    help="reproduce reference dequant bug B1")
 
@@ -64,7 +66,9 @@ def _config_from_args(args, color: bool):
         stripe_rows=args.stripe_rows,
         chroma=chroma,
         use_pallas=args.pallas,
-        decode_index=args.decode_index,
+        decode_index={"auto": "auto", "on": True, "off": False}[
+            args.decode_index
+        ],
         compat_b1=args.compat_b1,
     )
 
@@ -299,9 +303,9 @@ def cmd_bench(args) -> int:
         def run(fr):
             def body(i, acc):
                 f = fr ^ (i & 255).astype(jnp.uint8)  # distinct per trip
-                packed, _ = jax.vmap(
+                packed = jax.vmap(
                     lambda im: codec.encode_step(im, cfg, n_stripes)
-                )(f)
+                )(f)[0]
                 return acc + jnp.sum(packed.bit_lengths)
 
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))

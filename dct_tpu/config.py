@@ -74,14 +74,23 @@ class CodecConfig:
         parallelism; the serialized container stores one byte-aligned
         substream per stripe, so output bits are identical for any device
         mesh (SURVEY.md section 5.8).
-      decode_index: store per-BLOCK bit lengths in the container (u16 per
-        block, container v2) — the restart-marker analog that makes every
-        block an independently addressable substream. Costs ~2 B/block
-        (~3-5%% of a q50 payload) and unlocks the DEVICE entropy decoder
-        (ops/entropy_decode_pallas.py): with per-block offsets, 128 blocks
-        decode in lane-parallel per Pallas grid cell instead of the
-        host's serial per-symbol loop, so decode_to_device never leaves
-        the chip. Off by default = v1 wire format, host decode.
+      decode_index: store per-BLOCK bit lengths in the container
+        (container v2) — the restart-marker analog that makes every block
+        an independently addressable substream, unlocking the DEVICE
+        entropy decoder (ops/entropy_decode_pallas.py): with per-block
+        offsets, 128 blocks decode in lane-parallel per Pallas grid cell
+        instead of the host's serial per-symbol loop, so decode_to_device
+        never leaves the chip. The index is bit-packed at the per-plane
+        width the data needs (container.py flags2 bit1); measured cost on
+        the real-image set (benchmarks/index_cost.py, BASELINE.md r5):
+        ~13%% of the payload at q50, ~4%% at q90, ~2%% at q97 (the u16
+        wire form the docstring previously called "3-5%% at q50" really
+        cost 21%% there). Values: True (always index), False (never, v1
+        wire format), "auto" (the default: index the container only when
+        the packed index is <= AUTO_INDEX_BOUND of the payload — device
+        decode ships on the default path exactly where its size cost is
+        small; computing the per-block lengths is free on the fused
+        encode path, measured 860.3 vs 860.1 Mpix/s same-session).
       dtype: compute dtype for the transform matmuls. float32 keeps the
         quantized integer outputs exact w.r.t. the float64 C oracle for all
         8-bit inputs (verified by tests/test_parity.py).
@@ -99,12 +108,17 @@ class CodecConfig:
     compat_b1: bool = False
     chroma: ChromaMode = "gray"
     stripe_rows: int = 1
-    decode_index: bool = False
+    decode_index: bool | str = "auto"
     dtype: str = "float32"
 
     def __post_init__(self):
         if self.block_size < 2:
             raise ValueError(f"block_size must be >= 2, got {self.block_size}")
+        if self.decode_index not in (True, False, "auto"):
+            raise ValueError(
+                f"decode_index must be True, False or 'auto', got "
+                f"{self.decode_index!r}"
+            )
         if self.coded_runs and self.block_size > 8:
             # The run-code alphabet (and the TPDC wire format's 65-entry
             # run table) covers runs 0..64; N > 8 blocks produce runs up

@@ -39,14 +39,28 @@ Layout (little-endian):
     coded_runs only: 65 x u8 canonical run-code lengths (runs 0..64)
     adaptive only: bh*bw x u8 per-block variance codes (padded grid dims)
     n_stripes x u32 stripe bit lengths
-    decode_index only: n_stripes*blocks_per_stripe x u16 per-block bit
-      lengths (stripe-linear block order; each stripe's sum must equal its
-      stripe_bits entry — validated on read). The restart-marker analog
-      (the reference has no bitstream at all, SURVEY.md B2): it makes
-      every block an independently addressable substream, which is what
-      the device entropy decoder parallelizes over
-      (ops/entropy_decode_pallas.py).
+    decode_index only (flags2 bit0): per-block bit lengths in
+      stripe-linear block order — the restart-marker analog (the
+      reference has no bitstream at all, SURVEY.md B2): it makes every
+      block an independently addressable substream, which is what the
+      device entropy decoder parallelizes over
+      (ops/entropy_decode_pallas.py). Two encodings:
+        * flags2 bit1 set (all new containers): u8 width w (1..16), then
+          ceil(n_blocks*w/8) bytes of MSB-first w-bit entries, pad bits
+          zero — w is the smallest width the plane's largest block
+          needs, which cuts the index ~40-50% vs u16 at photographic
+          qualities;
+        * bit1 clear (legacy round-4 v2): n_blocks x u16.
+      Each stripe's sum must equal its stripe_bits entry — validated on
+      read.
     payload: concatenation of byte-aligned stripe substreams
+
+With cfg.decode_index == "auto" (the default), serialize() includes the
+index only when its packed bytes are <= AUTO_INDEX_BOUND of the payload
+bytes — device decode on the default path exactly where the size cost
+is small (measured table: benchmarks/index_cost.py, BASELINE.md r5).
+The decision depends only on the plane bytes, so it is deterministic
+and mesh-shape-invariant like everything else on the wire.
 """
 
 from __future__ import annotations
@@ -60,10 +74,73 @@ from dct_tpu.config import CodecConfig
 
 MAGIC = b"TPDC"
 VERSION = 1
-VERSION_EXT = 2  # adds the flags2 byte (bit0: decode_index)
+VERSION_EXT = 2  # adds the flags2 byte (bit0: decode_index, bit1: packed)
+
+# "auto" decode_index includes the packed index only when it costs at
+# most this fraction of the payload bytes. From the measured table
+# (benchmarks/index_cost.py): packed ~13% at q50, ~4% at q90, ~2% at
+# q97 on the real-image set — 6% turns device decode on for
+# high-quality content and leaves small/low-quality payloads alone.
+AUTO_INDEX_BOUND = 0.06
 
 _HUFFMAN_MODES = ("category", "direct", "none")
 _CHROMA_MODES = ("gray", "444", "420")
+
+
+def _index_width(bb: np.ndarray) -> int:
+    """Smallest per-entry bit width for a block-bits index."""
+    return max(1, int(bb.max(initial=0)).bit_length())
+
+
+def pack_index(bb: np.ndarray) -> tuple[int, bytes]:
+    """(width, MSB-first packed entries + zero pad bits)."""
+    bb = np.asarray(bb, np.int64)
+    w = _index_width(bb)
+    bits = np.zeros(bb.size * w, np.uint8)
+    for k in range(w):
+        bits[k::w] = (bb >> (w - 1 - k)) & 1
+    return w, np.packbits(bits).tobytes()
+
+
+def _unpack_index(data: bytes, off: int, n: int, w: int) -> np.ndarray:
+    nbytes = (n * w + 7) // 8
+    raw = np.frombuffer(data, np.uint8, nbytes, off)
+    bits = np.unpackbits(raw)
+    if bits[n * w:].any():
+        raise ValueError("decode index pad bits not zero")
+    vals = np.zeros(n, np.int64)
+    for k in range(w):
+        vals = (vals << 1) | bits[k::w][:n]
+    return vals.astype(np.uint16)
+
+
+def index_cost_bytes(planes: "list[PlaneData]") -> int:
+    """Wire bytes the packed decode index would add (width bytes incl.)."""
+    return sum(
+        1 + (p.block_bits.size * _index_width(p.block_bits) + 7) // 8
+        for p in planes
+    )
+
+
+def _resolve_decode_index(c: "Container") -> bool:
+    """Concrete include-the-index decision for this container.
+
+    Payload bytes come from stripe_bits (the wire-recorded per-stripe
+    lengths), NOT len(stripes): identical for real containers, and it
+    keeps the rate-control size probes exact — their skeletons carry
+    real stripe_bits/block_bits over empty stripe buffers."""
+    di = c.config.decode_index
+    if di != "auto":
+        return bool(di)
+    if any(p.block_bits is None for p in c.planes):
+        return False
+    payload = sum(
+        int(((np.asarray(p.stripe_bits, np.int64) + 7) // 8).sum())
+        for p in c.planes
+    )
+    return payload > 0 and index_cost_bytes(c.planes) <= (
+        AUTO_INDEX_BOUND * payload
+    )
 
 
 @dataclasses.dataclass
@@ -105,11 +182,12 @@ def _pack_flags(cfg: CodecConfig) -> int:
 
 def serialize(c: Container) -> bytes:
     cfg = c.config
+    with_index = _resolve_decode_index(c)
     out = bytearray()
     out += MAGIC
     out += struct.pack(
         "<BBBBIIBBH",
-        VERSION_EXT if cfg.decode_index else VERSION,
+        VERSION_EXT if with_index else VERSION,
         _pack_flags(cfg),
         cfg.block_size,
         cfg.quality,
@@ -119,8 +197,8 @@ def serialize(c: Container) -> bytes:
         _CHROMA_MODES.index(cfg.chroma),
         cfg.stripe_rows,
     )
-    if cfg.decode_index:
-        out += struct.pack("<B", 1)  # flags2: bit0 decode_index
+    if with_index:
+        out += struct.pack("<B", 0b11)  # flags2: index present, packed
     for p in c.planes:
         out += struct.pack("<III", p.width, p.height, len(p.stripes))
         mode = cfg.huffman_mode if cfg.use_huffman else "none"
@@ -147,7 +225,7 @@ def serialize(c: Container) -> bytes:
         if cfg.adaptive:
             out += bytes(np.asarray(p.variance_codes, np.uint8))
         out += np.asarray(p.stripe_bits, "<u4").tobytes()
-        if cfg.decode_index:
+        if with_index:
             bb = np.asarray(p.block_bits, np.int64)
             n_stripes = len(p.stripes)
             if bb.size % n_stripes:
@@ -162,7 +240,9 @@ def serialize(c: Container) -> bytes:
                 )
             if bb.max(initial=0) > 0xFFFF or bb.min(initial=0) < 0:
                 raise ValueError("per-block bit length outside u16")
-            out += bb.astype("<u2").tobytes()
+            w, packed = pack_index(bb)
+            out += struct.pack("<B", w)
+            out += packed
         for s in p.stripes:
             out += s
     return bytes(out)
@@ -197,9 +277,12 @@ def _deserialize(data: bytes) -> Container:
     if version >= VERSION_EXT:
         (flags2,) = struct.unpack_from("<B", data, 20)
         header_end = 21
-        if flags2 & ~1:
+        if flags2 & ~3:
             raise ValueError(f"unknown extension flags 0x{flags2:02x}")
+        if flags2 & 2 and not flags2 & 1:
+            raise ValueError("packed-index flag without an index")
     decode_index = bool(flags2 & 1)
+    packed_index = bool(flags2 & 2)
     # validate enum/structural header fields BEFORE using them — corrupt
     # values must surface as the uniform ValueError, not ZeroDivisionError
     # (stripe_rows=0) or IndexError (mode indexes)
@@ -281,10 +364,18 @@ def _deserialize(data: bytes) -> Container:
             bh = -(-bh // stripe_rows) * stripe_rows
             bw = -(-pw // n)
             bps = stripe_rows * bw  # blocks per stripe (padded grid)
-            block_bits = np.frombuffer(
-                data, "<u2", n_stripes * bps, off
-            ).copy()
-            off += 2 * n_stripes * bps
+            if packed_index:
+                (w,) = struct.unpack_from("<B", data, off)
+                off += 1
+                if not 1 <= w <= 16:
+                    raise ValueError(f"invalid decode index width {w}")
+                block_bits = _unpack_index(data, off, n_stripes * bps, w)
+                off += (n_stripes * bps * w + 7) // 8
+            else:  # legacy round-4 v2: raw u16 entries
+                block_bits = np.frombuffer(
+                    data, "<u2", n_stripes * bps, off
+                ).copy()
+                off += 2 * n_stripes * bps
             per = block_bits.astype(np.int64).reshape(n_stripes, bps).sum(1)
             if not np.array_equal(per, stripe_bits.astype(np.int64)):
                 # a hostile/corrupt index would misaddress every block the

@@ -271,8 +271,10 @@ def encode_fused_step(
     stripes (ops/fused_encode_pallas.py). Byte-identical to the staged
     pipeline; HBM sees only pixels in and units out.
 
-    Returns (packed, var_codes), plus (n_stripes, bps) per-block bit
-    lengths when cfg.decode_index."""
+    Returns (packed, var_codes, block_bits) — block_bits is the
+    (n_stripes, bps) per-block bit lengths when cfg.decode_index is
+    truthy (True or the default "auto"), else None. Uniform arity: the
+    variable-arity version shipped two trace-time unpack crashes."""
     from dct_tpu.ops.fused_encode_pallas import encode_stripes_fused
 
     pixels = blk.image_to_blocks(image, cfg.block_size)
@@ -288,12 +290,12 @@ def encode_fused_step(
         adaptive_scale=scale, chroma=chroma,
         run_lengths=run_lengths, run_codes=run_codes,
         vmin=DIRECT_VMIN if mode == "direct" else 0,
-        return_block_bits=cfg.decode_index,
+        return_block_bits=bool(cfg.decode_index),
     )
     if cfg.decode_index:
         packed, block_bits = out
         return packed, var_codes, block_bits
-    return out, var_codes
+    return out, var_codes, None
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_stripes", "chroma"))
@@ -301,10 +303,11 @@ def encode_step(
     image: jax.Array, cfg: CodecConfig, n_stripes: int, chroma: bool = False
 ):
     """Single-dispatch full encode (static-table mode): padded plane ->
-    (PackedStripes, var_codes), plus per-block bit lengths when
-    cfg.decode_index. Fully jittable end to end — no host sync — hence
-    directly shardable over a device mesh (parallel/shard_encode.py)
-    and the unit the driver's entry()/dryrun exercises.
+    (PackedStripes, var_codes, block_bits-or-None) — see
+    encode_fused_step for the uniform arity contract. Fully jittable end
+    to end — no host sync — hence directly shardable over a device mesh
+    (parallel/shard_encode.py) and the unit the driver's entry()/dryrun
+    exercises.
     """
     if not cfg.static_tables:
         raise ValueError("encode_step requires cfg.static_tables")
@@ -333,12 +336,12 @@ def encode_step(
     symbols = rle.rle_encode_positional(zz)
     out = encode_pack(
         symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes,
-        return_block_bits=cfg.decode_index,
+        return_block_bits=bool(cfg.decode_index),
     )
     if cfg.decode_index:
         packed, block_bits = out
         return packed, var_codes, block_bits
-    return out, var_codes
+    return out, var_codes, None
 
 
 def pad_plane_for_encode(plane, cfg: CodecConfig) -> jax.Array:
@@ -371,11 +374,9 @@ def encode_plane(
     if cfg.static_tables:
         table = _build_table(cfg, None)
         run_table = _build_run_table(cfg, None)
-        res = encode_step(img, cfg, n_stripes, chroma=chroma)
-        if cfg.decode_index:
-            packed, var_codes, block_bits = res
-        else:
-            packed, var_codes = res
+        packed, var_codes, block_bits = encode_step(
+            img, cfg, n_stripes, chroma=chroma
+        )
     else:
         symbols, var_codes, hist, run_hist = encode_analyze(
             img, cfg, chroma=chroma
@@ -390,18 +391,14 @@ def encode_plane(
         if _fused_kernel_ok(cfg):
             # second dispatch re-runs transform+RLE inside the fused kernel
             # with the real tables — still cheaper than the staged pack
-            res = encode_fused_step(
+            packed, var_codes, block_bits = encode_fused_step(
                 img, cfg, n_stripes, lengths, codes, chroma,
                 run_lengths, run_codes,
             )
-            if cfg.decode_index:
-                packed, var_codes, block_bits = res
-            else:
-                packed, var_codes = res
         else:
             res = encode_pack(
                 symbols, cfg, n_stripes, lengths, codes, run_lengths,
-                run_codes, return_block_bits=cfg.decode_index,
+                run_codes, return_block_bits=bool(cfg.decode_index),
             )
             if cfg.decode_index:
                 packed, block_bits = res

@@ -142,44 +142,46 @@ def _chunk_bits(
     codes: jax.Array,
     run_lengths: jax.Array | None = None,
     run_codes: jax.Array | None = None,
-) -> jax.Array:
-    """Per-stripe payload bit counts: encode_pack minus the pack.
+):
+    """(per-stripe, per-block) payload bit counts: encode_pack minus the
+    pack.
 
     Reduces the same (B, S, 3) chunk-length tensor the scatter packer
     consumes — via codec.symbol_chunks_for, the SAME dispatch
-    encode_pack calls, so the equality is structural, not a mirror."""
+    encode_pack calls, so the equality is structural, not a mirror. The
+    per-BLOCK counts feed the probe skeleton's decode index: the packed
+    index width (and hence the container size, and the "auto" include
+    decision) depends on the actual values, not just the block count."""
     _, cl = _codec.symbol_chunks_for(
         symbols, cfg, lengths, codes, run_lengths, run_codes
     )
-    return cl.reshape(n_stripes, -1).sum(axis=1)
+    bb = cl.reshape(cl.shape[0], -1).sum(axis=1)  # (NB,)
+    return bb.reshape(n_stripes, -1).sum(axis=1), bb
 
 
 def _probe_skeleton(
     w: int, h: int, cfg: CodecConfig, n_stripes: int, table, run_table,
-    var_codes,
+    var_codes, stripe_bits, block_bits,
 ) -> cont.PlaneData:
     """Empty-stripe PlaneData carrying exactly the probe-relevant header
-    fields, so serializing it prices the per-plane overhead byte-exactly."""
+    fields, so serializing it prices the per-plane overhead byte-exactly.
+    stripe_bits/block_bits are the REAL probed counts: the packed decode
+    index's width — and serialize()'s "auto" include decision, which
+    reads payload bytes off stripe_bits — are value-dependent."""
     return cont.PlaneData(
         width=w,
         height=h,
         table_lengths=table.lengths if table is not None else None,
         vmin=_codec.DIRECT_VMIN,
         variance_codes=var_codes,
-        stripe_bits=np.zeros(n_stripes, np.uint32),
+        stripe_bits=np.asarray(stripe_bits, np.uint32),
         stripes=[b""] * n_stripes,
         run_table_lengths=(
             run_table.lengths if run_table is not None else None
         ),
         block_bits=(
-            # the decode index is 2 B/block of size-invariant header cost;
-            # an all-zero index keeps the skeleton serializable (zero
-            # stripe sums) while charging the probe the exact overhead
-            np.zeros(
-                n_stripes * cfg.stripe_rows * (-(-w // cfg.block_size)),
-                np.uint16,
-            )
-            if cfg.decode_index else None
+            np.asarray(block_bits).reshape(-1).astype(np.uint16)
+            if cfg.decode_index and block_bits is not None else None
         ),
     )
 
@@ -199,12 +201,12 @@ def _plane_size(
     if mesh is not None:
         from dct_tpu.parallel import shard_encode as _se
 
-        bits, vc, table, run_table = _se.plane_probe_bits_sharded(
+        bits, bb, vc, table, run_table = _se.plane_probe_bits_sharded(
             plane, cfg, mesh, chroma=chroma
         )
         return bits, _probe_skeleton(
             w, h, cfg, n_stripes, table, run_table,
-            vc if cfg.adaptive else None,
+            vc if cfg.adaptive else None, bits, bb,
         )
 
     img = _pad_plane(plane, cfg)
@@ -222,14 +224,14 @@ def _plane_size(
         run_lengths, run_codes = _codec._table_arrays(run_table)
     else:
         run_lengths = run_codes = None
-    bits = np.asarray(
-        _chunk_bits(
-            symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
-        )
+    bits, bb = _chunk_bits(
+        symbols, cfg, n_stripes, lengths, codes, run_lengths, run_codes
     )
+    bits = np.asarray(bits)
     return bits, _probe_skeleton(
         w, h, cfg, n_stripes, table, run_table,
         np.asarray(var_codes) if cfg.adaptive else None,
+        bits, np.asarray(bb),
     )
 
 
@@ -295,6 +297,7 @@ def container_size(image: np.ndarray, cfg: CodecConfig, mesh=None) -> int:
 def _chunk_bits_batch(
     symbols, cfg, n_stripes, lengths, codes, run_lengths=None, run_codes=None
 ):
+    """Per-frame (stripe bits (F, S), block bits (F, NB))."""
     return jax.vmap(
         lambda s: _chunk_bits(
             s, cfg, n_stripes, lengths, codes, run_lengths, run_codes
@@ -307,14 +310,16 @@ def _plane_batch_bits(
     cfg: CodecConfig,
     chroma: bool,
     chunk_frames: int | None,
-) -> tuple[np.ndarray, cont.PlaneData]:
-    """((F, n_stripes) per-stripe bit counts, skeleton PlaneData) for a
-    frame-stack plane batch at cfg.quality. Mirrors
-    video._encode_plane_batch (batch-GLOBAL dynamic tables, chunked
-    dispatches) up to but not including the pack, so the counts equal the
-    packer's bit_lengths for every frame. The skeleton's serialized size
-    is identical for every frame of the batch (tables are shared; the
-    adaptive variance-code field has fixed length).
+):
+    """((F, n_stripes) per-stripe bit counts, (F, NB) per-block bit
+    counts, skeleton factory frame_idx -> PlaneData) for a frame-stack
+    plane batch at cfg.quality. Mirrors video._encode_plane_batch
+    (batch-GLOBAL dynamic tables, chunked dispatches) up to but not
+    including the pack, so the counts equal the packer's bit_lengths for
+    every frame. Skeletons are PER FRAME: the packed decode index's
+    width (and serialize()'s "auto" decision) depends on each frame's
+    own block bit counts, so frame container sizes can differ even with
+    shared tables.
 
     Like the encoder's pass 1, symbols are DROPPED per chunk when the
     stack spans multiple chunks (retaining them would unbound the device
@@ -368,6 +373,7 @@ def _plane_batch_bits(
         run_lengths = run_codes = None
 
     bits = []
+    bbs = []
     for i0 in range(0, f, chunk):
         if symbols_once is not None:
             sym = symbols_once
@@ -375,29 +381,22 @@ def _plane_batch_bits(
             sym, _, _, _ = _video._analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
             )
-        bits.append(np.asarray(_chunk_bits_batch(
+        b, bb = _chunk_bits_batch(
             sym, cfg, n_stripes, lengths, codes, run_lengths, run_codes
-        )))
-    skeleton = cont.PlaneData(
-        width=w,
-        height=h,
-        table_lengths=table.lengths if table is not None else None,
-        vmin=_codec.DIRECT_VMIN,
-        variance_codes=(
-            np.zeros(bh * bw, np.uint8) if cfg.adaptive else None
-        ),
-        stripe_bits=np.zeros(n_stripes, np.uint32),
-        stripes=[b""] * n_stripes,
-        run_table_lengths=(
-            run_table.lengths if run_table is not None else None
-        ),
-        block_bits=(
-            # size-invariant index overhead (see the image-path skeleton)
-            np.zeros(n_stripes * cfg.stripe_rows * bw, np.uint16)
-            if cfg.decode_index else None
-        ),
-    )
-    return np.concatenate(bits, axis=0), skeleton
+        )
+        bits.append(np.asarray(b))
+        bbs.append(np.asarray(bb))
+    bits = np.concatenate(bits, axis=0)
+    bbs = np.concatenate(bbs, axis=0)
+
+    def skeleton(i: int) -> cont.PlaneData:
+        return _probe_skeleton(
+            w, h, cfg, n_stripes, table, run_table,
+            np.zeros(bh * bw, np.uint8) if cfg.adaptive else None,
+            bits[i], bbs[i],
+        )
+
+    return bits, bbs, skeleton
 
 
 def _video_plane_batches(
@@ -443,30 +442,43 @@ def _video_sizes_from_batches(
 ) -> np.ndarray:
     f = int(plane_batches[0][0].shape[0])
     per_frame = np.zeros(f, np.int64)
-    skeletons = []
+    skel_factories = []
     for batch, chroma in plane_batches:
         if mesh is not None:
             from dct_tpu.parallel import shard_encode as _se
 
-            bits, table, run_table = _se.video_plane_batch_bits_sharded(
-                batch, cfg, mesh, chroma, chunk_frames
+            bits, bbs, table, run_table = (
+                _se.video_plane_batch_bits_sharded(
+                    batch, cfg, mesh, chroma, chunk_frames
+                )
             )
             bh, bw, n_stripes = _codec._padded_grid(
                 int(batch.shape[1]), int(batch.shape[2]), cfg
             )
-            skel = _probe_skeleton(
-                int(batch.shape[2]), int(batch.shape[1]), cfg, n_stripes,
-                table, run_table,
-                np.zeros(bh * bw, np.uint8) if cfg.adaptive else None,
-            )
+
+            def skel(i, bits=bits, bbs=bbs, table=table,
+                     run_table=run_table, batch=batch, bh=bh, bw=bw,
+                     n_stripes=n_stripes):
+                return _probe_skeleton(
+                    int(batch.shape[2]), int(batch.shape[1]), cfg,
+                    n_stripes, table, run_table,
+                    np.zeros(bh * bw, np.uint8) if cfg.adaptive else None,
+                    bits[i], bbs[i],
+                )
         else:
-            bits, skel = _plane_batch_bits(batch, cfg, chroma, chunk_frames)
+            bits, bbs, skel = _plane_batch_bits(
+                batch, cfg, chroma, chunk_frames
+            )
         per_frame += ((bits.astype(np.int64) + 7) // 8).sum(axis=1)
-        skeletons.append(skel)
-    header = len(cont.serialize(
-        cont.Container(config=cfg, width=w, height=h, planes=skeletons)
-    ))
-    return per_frame + header
+        skel_factories.append(skel)
+    # headers are PER FRAME: the packed decode index's width (and the
+    # "auto" include decision) vary with each frame's block bit counts
+    for i in range(f):
+        per_frame[i] += len(cont.serialize(cont.Container(
+            config=cfg, width=w, height=h,
+            planes=[sk(i) for sk in skel_factories],
+        )))
+    return per_frame
 
 
 def video_container_sizes(

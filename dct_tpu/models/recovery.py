@@ -155,7 +155,7 @@ def _encode_one_stripe(
         run_lengths = run_codes = None
     out = codec.encode_pack(
         symbols, cfg, 1, lengths, codes, run_lengths, run_codes,
-        return_block_bits=cfg.decode_index,
+        return_block_bits=bool(cfg.decode_index),
     )
     if cfg.decode_index:
         packed, block_bits = out

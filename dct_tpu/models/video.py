@@ -136,40 +136,34 @@ def _encode_plane_batch(
     for i0 in range(0, f, chunk):
         block_bits = None
         if cfg.static_tables:
-            res = jax.vmap(
+            packed, var_codes, block_bits = jax.vmap(
                 lambda im: _codec.encode_step(im, cfg, n_stripes, chroma)
             )(prep(planes[i0 : i0 + chunk]))
-            if cfg.decode_index:
-                packed, var_codes, block_bits = res
-            else:
-                packed, var_codes = res
         elif symbols_once is not None:
             # symbols already computed by the single-chunk analyze above —
             # no second pad/upload of the stack
             res = _pack_batch(
                 symbols_once, cfg, n_stripes, lengths, codes,
-                run_lengths, run_codes, return_block_bits=cfg.decode_index,
+                run_lengths, run_codes,
+                return_block_bits=bool(cfg.decode_index),
             )
             packed, block_bits = res if cfg.decode_index else (res, None)
             var_codes = var_once
         elif _codec._fused_kernel_ok(cfg):
-            res = jax.vmap(
+            packed, var_codes, block_bits = jax.vmap(
                 lambda im: _codec.encode_fused_step(
                     im, cfg, n_stripes, lengths, codes, chroma,
                     run_lengths, run_codes,
                 )
             )(prep(planes[i0 : i0 + chunk]))
-            if cfg.decode_index:
-                packed, var_codes, block_bits = res
-            else:
-                packed, var_codes = res
         else:
             symbols, var_codes, _, _ = _analyze_batch(
                 prep(planes[i0 : i0 + chunk]), cfg, chroma=chroma
             )
             res = _pack_batch(
                 symbols, cfg, n_stripes, lengths, codes,
-                run_lengths, run_codes, return_block_bits=cfg.decode_index,
+                run_lengths, run_codes,
+                return_block_bits=bool(cfg.decode_index),
             )
             packed, block_bits = res if cfg.decode_index else (res, None)
 

@@ -120,9 +120,14 @@ _LADDER_START = 0
 _LADDER_STOP: int | None = None
 
 # Ladder rung indexes for the hook (keep in sync with the ladder below).
+# The *4 rungs are the round-5 phase-shifted-accumulator variants: four
+# unit buffers offset by 32 lanes each cut the 128-alignment slack to
+# <= 31, so a one-MXU-tile span (128) covers real content without the
+# round-3 NARROW rungs' dead-end result rolls — the per-row one-hot
+# build (the pack loop's dominant cost) halves.
 _TIER_INDEX = {
-    "quad": 0, "pair": 1, "pair_wide": 2, "mid": 3, "mid_wide": 4,
-    "safe": 5,
+    "quad4": 0, "quad": 1, "pair4": 2, "pair": 3, "pair_wide": 4,
+    "mid4": 5, "mid": 6, "mid_wide": 7, "safe": 8,
 }
 
 
@@ -244,7 +249,8 @@ def _fused_kernel(
                dynamic sublane offsets are unrestricted only for 32-bit;
                the DEFAULT-precision matmul rounds to bf16 internally,
                exact for byte values)
-    scr_base:  (R, 1) i32 — per-row 128-aligned output unit base
+    scr_base:  (R, 1) i32 — per-row FIRST output unit (rp_ex >> 4); the
+               pack rungs derive their 128- or 32-aligned bases from it
     """
     R = px_ref.shape[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
@@ -501,8 +507,10 @@ def _fused_kernel(
         )
 
     kmat = off >> 4
-    base_vec = ((rp_ex >> 4) >> 7) << 7  # 128-aligned unit base per row
-    scr_base[:] = base_vec
+    rpu_vec = rp_ex >> 4  # first output unit per row
+    base_vec = (rpu_vec >> 7) << 7  # 128-aligned unit base per row
+    base32_vec = (rpu_vec >> 5) << 5  # 32-aligned base (acc4 rungs)
+    scr_base[:] = rpu_vec
 
     def write_digits(Tv, nTv, Xv, nXv):
         for j in range(4):
@@ -541,17 +549,38 @@ def _fused_kernel(
             jnp.max(jnp.where(lead, last_m[k] + 4 - base_vec, 0)) <= span
         )
 
+    def tier_ok4(k):
+        # acc4 rung eligibility: group extent from the LEADER's 32-aligned
+        # base (slack <= 31) + digit margin fits the one-MXU-tile span
+        lead = (ridx1 & ((1 << k) - 1)) == 0
+        return (jnp.max(jnp.where(lead, live_m[k], 0)) <= 128) & (
+            jnp.max(jnp.where(lead, last_m[k] + 4 - base32_vec, 0)) <= 128
+        )
+
     span_need = jnp.max(last_k + 4 - base_vec)
+    span_need32 = jnp.max(last_k + 4 - base32_vec)
 
     # ---- 5. pack -----------------------------------------------------------
     units_ref[:] = jnp.zeros_like(units_ref)
 
-    def pack_loop(span, row_step):
+    U_pad = units_ref.shape[2]
+    acc4 = extra_scr[-1]  # (4, U_pad) i32 phase-shifted accumulators
+
+    def pack_loop(span, row_step, use_acc4=False):
         u = jax.lax.broadcasted_iota(jnp.int32, (128, span), 1)
 
         def one_row(r, planes, rr):
-            base = scr_base[r, 0]
-            ob = pl.multiple_of(base, 128)
+            rpu = scr_base[r, 0]
+            if use_acc4:
+                # accumulator bsel's lane l holds unit l + 32*bsel: the
+                # row's alignment slack drops from <= 127 to <= 31, so
+                # the one-MXU-tile span covers slack + extent + digits
+                bsel = (rpu >> 5) & 3
+                base = (rpu >> 5) << 5
+            else:
+                bsel = 0
+                base = (rpu >> 7) << 7
+            ob = pl.multiple_of((rpu >> 7) << 7, 128)
             k = (scr_k[pl.ds(r, 1), :] - base).reshape(128, 1)
             a = (k == u).astype(jnp.float32)  # one one-hot, all 4 digits
             w = jnp.concatenate([p[rr : rr + 1] for p in planes], axis=0)
@@ -565,8 +594,14 @@ def _fused_kernel(
                     + out[2 * j + 1 : 2 * j + 2],
                     j, axis=1,
                 )
-            cur = units_ref[0, :, pl.ds(ob, span)]
-            units_ref[0, :, pl.ds(ob, span)] = cur + h.astype(jnp.int32)
+            if use_acc4:
+                cur = acc4[pl.ds(bsel, 1), pl.ds(ob, span)]
+                acc4[pl.ds(bsel, 1), pl.ds(ob, span)] = cur + h.astype(
+                    jnp.int32
+                )
+            else:
+                cur = units_ref[0, :, pl.ds(ob, span)]
+                units_ref[0, :, pl.ds(ob, span)] = cur + h.astype(jnp.int32)
 
         def body(r8, _):
             # rows 8*r8 .. 8*r8+7 of each digit-byte plane are contiguous
@@ -579,11 +614,30 @@ def _fused_kernel(
 
         jax.lax.fori_loop(0, R // 8, body, 0)
 
+    def acc4_run(span, row_step):
+        """Zero the four accumulators, pack into them, then fold them
+        into units_ref with their 32-lane phase shifts (rolled-off tails
+        hold only wrap junk — U_pad carries >= safe-span slack past the
+        last writable window, so no valid lane reaches U_pad - 96)."""
+        acc4[:] = jnp.zeros_like(acc4)
+        pack_loop(span, row_step, use_acc4=True)
+        lanes_u = jax.lax.broadcasted_iota(jnp.int32, (1, U_pad), 1)
+        tot = acc4[pl.ds(0, 1), :]
+        for b2 in (1, 2, 3):
+            # buffer b2's lane l holds unit l + 32*b2: roll RIGHT by the
+            # phase shift; the first 32*b2 lanes then hold wrap junk from
+            # the buffer's tail (never valid data — the buffer's valid
+            # extent ends >= 32*b2 lanes before U_pad by the safe-span
+            # slack), so mask them off
+            sh = pltpu.roll(acc4[pl.ds(b2, 1), :], 32 * b2, axis=1)
+            tot = tot + jnp.where(lanes_u >= 32 * b2, sh, 0)
+        units_ref[0, :, :] = tot
+
     tier_ref[0, 0, 0] = -1
     if _SKIP_PACK:  # benchmark hook: phases 1-4 only
         return
 
-    def merged_pack(k, span):
+    def merged_pack(k, span, use_acc4=False):
         # compact each row left, then merge k tree levels; group-leader
         # rows (0 mod 2^k) carry the merged symbols for the pack loop
         live_mask = lane < livecnt
@@ -596,12 +650,18 @@ def _fused_kernel(
         km, Tm, nTm, Xm, nXm = planes
         scr_k[:] = km
         write_digits(Tm, nTm, Xm, nXm)
-        pack_loop(span, 1 << k)
+        if use_acc4:
+            acc4_run(span, 1 << k)
+        else:
+            pack_loop(span, 1 << k)
 
-    def plain_pack(span):
+    def plain_pack(span, use_acc4=False):
         scr_k[:] = kmat
         write_digits(T, nT, X, nX)
-        pack_loop(span, 1)
+        if use_acc4:
+            acc4_run(span, 1)
+        else:
+            pack_loop(span, 1)
 
     # Ladder in measured-cost order (see the tier comment above); each
     # branch fires iff no cheaper branch's condition held. The final rung
@@ -611,9 +671,12 @@ def _fused_kernel(
     # through to an all-zero pack while bits_ref reports a length.
     safe = _safe_span(mode, coded_runs, run_bits)
     ladder = [
+        (tier_ok4(2), functools.partial(merged_pack, 2, 128, True)),
         (tier_ok(2, FAST_SPAN), functools.partial(merged_pack, 2, FAST_SPAN)),
+        (tier_ok4(1), functools.partial(merged_pack, 1, 128, True)),
         (tier_ok(1, FAST_SPAN), functools.partial(merged_pack, 1, FAST_SPAN)),
         (tier_ok(1, WIDE_SPAN), functools.partial(merged_pack, 1, WIDE_SPAN)),
+        (span_need32 <= 128, functools.partial(plain_pack, 128, True)),
         (span_need <= FAST_SPAN, functools.partial(plain_pack, FAST_SPAN)),
         (span_need <= WIDE_SPAN, functools.partial(plain_pack, WIDE_SPAN)),
         (span_need >= 0, functools.partial(plain_pack, safe)),
@@ -752,10 +815,12 @@ def encode_stripes_fused(
     scratch = [
         pltpu.VMEM((R, 128), jnp.int32),
         pltpu.VMEM((8 * R, 128), jnp.float32),
-        pltpu.VMEM((R, 1), jnp.int32),   # scr_base
+        pltpu.VMEM((R, 1), jnp.int32),   # scr_base (per-row first unit)
     ]
     if mode == "direct":
         scratch.append(pltpu.VMEM((2 * R, 128), jnp.int32))
+    # acc4: the phase-shifted accumulator quartet for the 128-span rungs
+    scratch.append(pltpu.VMEM((4, U_pad), jnp.int32))
     bbits_cols = 1 if n2 == 256 else bpr
     units, bits, tiers, bbits = pl.pallas_call(
         kernel,

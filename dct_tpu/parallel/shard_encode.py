@@ -213,11 +213,9 @@ def encode_plane_sharded(
     if cfg.static_tables:
         table = _codec._build_table(cfg, None)
         run_table = _codec._build_run_table(cfg, None)
-        res = _encode_step_sharded(img, cfg, n_stripes_p, mesh, chroma)
-        if cfg.decode_index:
-            packed, var_codes, block_bits = res
-        else:
-            packed, var_codes = res
+        packed, var_codes, block_bits = _encode_step_sharded(
+            img, cfg, n_stripes_p, mesh, chroma
+        )
     else:
         symbols, var_codes, _, _ = _codec.encode_analyze(img, cfg, chroma=chroma)
         table, run_table, lengths, codes, run_lengths, run_codes = (
@@ -225,7 +223,7 @@ def encode_plane_sharded(
         )
         out = _codec.encode_pack(
             symbols, cfg, n_stripes_p, lengths, codes, run_lengths,
-            run_codes, return_block_bits=cfg.decode_index,
+            run_codes, return_block_bits=bool(cfg.decode_index),
         )
         if cfg.decode_index:
             packed, block_bits = out
@@ -285,7 +283,7 @@ def plane_probe_bits_sharded(
     sharded analyze + the same psum table globalization as
     encode_plane_sharded, then reduces the chunk-length tensor (the one
     the packer offsets by) per stripe. Returns
-    (bits[:n_stripes], var_codes or None, table, run_table) — exactly the
+    (bits[:n_stripes], block_bits, var_codes or None, table, run_table) — the
     fields the probe skeleton needs, mesh-shape-invariant by the same
     masking that makes the encoder mesh-invariant."""
     from dct_tpu.models import rate_control as _rc
@@ -310,15 +308,16 @@ def plane_probe_bits_sharded(
         table, run_table, lengths, codes, run_lengths, run_codes = (
             _dynamic_tables_sharded(symbols, cfg, mesh, bh_real * bw)
         )
-    bits = np.asarray(
-        _rc._chunk_bits(
-            symbols, cfg, n_stripes_p, lengths, codes, run_lengths, run_codes
-        )
-    )[:n_stripes]
+    bits, bb = _rc._chunk_bits(
+        symbols, cfg, n_stripes_p, lengths, codes, run_lengths, run_codes
+    )
+    bits = np.asarray(bits)[:n_stripes]
+    # drop mesh-pad stripes' blocks (the same trim as the payload)
+    bb = np.asarray(bb).reshape(n_stripes_p, -1)[:n_stripes].reshape(-1)
     vc = (
         _host_full(var_codes)[: bh_real * bw] if cfg.adaptive else None
     )
-    return bits, vc, table, run_table
+    return bits, bb, vc, table, run_table
 
 
 def plane_sse_chunks_sharded(
@@ -448,11 +447,13 @@ def _encode_step_sharded(
         units=P(meshlib.STRIPE_AXIS, None),
         bit_lengths=P(meshlib.STRIPE_AXIS),
     )
-    out_specs = (ps_spec, P(meshlib.STRIPE_AXIS) if cfg.adaptive else None)
-    if cfg.decode_index:
-        # per-block bit lengths: (n_stripes, bps), stripe-sharded like the
-        # units they index
-        out_specs += (P(meshlib.STRIPE_AXIS, None),)
+    out_specs = (
+        ps_spec,
+        P(meshlib.STRIPE_AXIS) if cfg.adaptive else None,
+        # per-block bit lengths: (n_stripes, bps), stripe-sharded like
+        # the units they index (None when the index is off)
+        P(meshlib.STRIPE_AXIS, None) if cfg.decode_index else None,
+    )
 
     @functools.partial(
         shard_map,
@@ -861,7 +862,7 @@ def _video_encode_step(
     """Jitted shard_map'd pass-2 step over a (f_pad, ph, pw) chunk:
     static tables -> vmapped encode_step; dynamic -> vmapped analyze +
     staged pack against the (replicated) global tables. Returns
-    (PackedStripes, var_codes or None[, block_bits]) sharded
+    (PackedStripes, var_codes or None, block_bits or None) sharded
     (data, stripe)."""
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
     if n_stripes % n_dev:
@@ -877,9 +878,9 @@ def _video_encode_step(
     out_specs = (
         ps_spec,
         P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS) if cfg.adaptive else None,
+        P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None)
+        if cfg.decode_index else None,
     )
-    if cfg.decode_index:
-        out_specs += (P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),)
 
     if static:
         @jax.jit
@@ -919,12 +920,12 @@ def _video_encode_step(
             out = _codec.encode_pack(
                 symbols, cfg, local_stripes, lengths, codes,
                 run_lengths, run_codes,
-                return_block_bits=cfg.decode_index,
+                return_block_bits=bool(cfg.decode_index),
             )
             if cfg.decode_index:
                 packed, bb = out
                 return packed, var_codes, bb
-            return out, var_codes
+            return out, var_codes, None
 
         return jax.vmap(one)(fr)
 
@@ -935,9 +936,9 @@ def _video_encode_step(
 def _video_bits_step(
     cfg: CodecConfig, n_stripes: int, mesh: Mesh, chroma: bool
 ):
-    """Jitted shard_map'd size-probe step: per-frame per-stripe payload
-    bit counts against the (replicated) tables — the sharded analog of
-    rate_control._chunk_bits_batch."""
+    """Jitted shard_map'd size-probe step: per-frame (per-stripe,
+    per-block) payload bit counts against the (replicated) tables — the
+    sharded analog of rate_control._chunk_bits_batch."""
     from dct_tpu.models import rate_control as _rc
 
     n_dev = mesh.shape[meshlib.STRIPE_AXIS]
@@ -952,16 +953,22 @@ def _video_bits_step(
             P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS, None),
             P(), P(), *run_spec,
         ),
-        out_specs=P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+        out_specs=(
+            P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+            P(meshlib.DATA_AXIS, meshlib.STRIPE_AXIS),
+        ),
         check_vma=False,
     )
     def step(fr, lengths, codes, run_lengths, run_codes):
         def one(im):
             symbols, _, _, _ = _codec.encode_analyze(im, cfg, chroma=chroma)
-            return _rc._chunk_bits(
+            bits, bb = _rc._chunk_bits(
                 symbols, cfg, local_stripes, lengths, codes,
                 run_lengths, run_codes,
             )
+            # (NB_local,) -> (local_stripes, bps) so the stripe axis is
+            # leading for the out_specs
+            return bits, bb.reshape(local_stripes, -1)
 
         return jax.vmap(one)(fr)
 
@@ -1059,11 +1066,7 @@ def encode_video_plane_batch_sharded(
             res = step(fr)
         else:
             res = step(fr, lengths, codes, run_lengths, run_codes)
-        block_bits = None
-        if cfg.decode_index:
-            packed, var_codes, block_bits = res
-        else:
-            packed, var_codes = res
+        packed, var_codes, block_bits = res
 
         all_bits = _host_full(packed.bit_lengths)
         u_trim = bs.trim_units_count(all_bits, packed.units.shape[-1])
@@ -1153,8 +1156,9 @@ def video_plane_batch_bits_sharded(
     chunk_frames: int | None,
 ):
     """Sharded video size probe: ((F, n_stripes) per-stripe bit counts,
-    table, run_table) — the mesh analog of rate_control._plane_batch_bits,
-    mesh-shape-invariant and equal to the unsharded counts."""
+    (F, NB) per-block bit counts, table, run_table) — the mesh analog of
+    rate_control._plane_batch_bits, mesh-shape-invariant and equal to
+    the unsharded counts."""
     f, h, w = (int(x) for x in planes.shape)
     bh, bw, n_stripes, n_stripes_p, bh_real = _mesh_stripe_grid(
         h, w, cfg, mesh
@@ -1177,6 +1181,7 @@ def video_plane_batch_bits_sharded(
     )
     step = _video_bits_step(cfg, n_stripes_p, mesh, chroma)
     bits = []
+    bbs = []
     for i0 in range(0, f, chunk):
         sub = planes[i0 : i0 + chunk]
         f_real = int(sub.shape[0])
@@ -1184,9 +1189,16 @@ def video_plane_batch_bits_sharded(
         fr = jax.device_put(
             _pad_frames(sub, cfg, ph, pw, f_pad), meshlib.frame_sharding(mesh)
         )
-        b = np.asarray(step(fr, lengths, codes, run_lengths, run_codes))
-        bits.append(b[:f_real, :n_stripes])
-    return np.concatenate(bits, axis=0), table, run_table
+        b, bb = step(fr, lengths, codes, run_lengths, run_codes)
+        bits.append(np.asarray(b)[:f_real, :n_stripes])
+        # (F, n_stripes_p, bps) -> real stripes only, flattened per frame
+        bbs.append(
+            np.asarray(bb)[:f_real, :n_stripes].reshape(f_real, -1)
+        )
+    return (
+        np.concatenate(bits, axis=0), np.concatenate(bbs, axis=0),
+        table, run_table,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1241,9 +1253,9 @@ def _batch_step(cfg: CodecConfig, n_stripes: int, mesh: Mesh):
         check_vma=False,
     )
     def step(fr):
-        packed, _ = jax.vmap(
+        packed = jax.vmap(
             lambda im: _codec.encode_step(im, cfg, local_stripes)
-        )(fr)
+        )(fr)[0]
         return packed
 
     return step

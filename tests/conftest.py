@@ -33,6 +33,33 @@ def _assert_cpu():
     )
 
 
+# The XLA CPU jit cache never evicts, and each compiled executable holds
+# several mmap regions; a full one-process suite run compiles enough
+# distinct shapes to hit vm.max_map_count (~65530) and die in a compile
+# SEGFAULT around the 85% mark (observed 2026-08-20; CLAUDE.md documents
+# the same cliff for long benchmark processes). jax.clear_caches() DOES
+# munmap released executables (measured: 642 -> 463 regions), so drain
+# the cache between modules once the process is past half the limit —
+# recompiles cost a few minutes at most, a segfaulted suite costs the
+# run.
+_MAPS_DRAIN_THRESHOLD = 32_000
+
+
+def _map_count() -> int:
+    try:
+        with open(f"/proc/{os.getpid()}/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no cliff to dodge
+        return 0
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _drain_jit_cache_near_map_limit():
+    yield
+    if _map_count() > _MAPS_DRAIN_THRESHOLD:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def golden_block() -> np.ndarray:
     """The classic JPEG textbook 8x8 block, the reference's shared fixture

@@ -33,7 +33,9 @@ class TestContainer:
             )],
         )
         c2 = cont.deserialize(cont.serialize(c))
-        assert c2.config == cfg
+        # the wire carries the RESOLVED index decision, never "auto"
+        # (this skeleton has no block_bits -> auto resolves to False)
+        assert c2.config == cfg.replace(decode_index=False)
         assert (c2.width, c2.height) == (100, 50)
         p = c2.planes[0]
         np.testing.assert_array_equal(p.table_lengths, c.planes[0].table_lengths)

@@ -137,8 +137,11 @@ def test_container_v2_roundtrip_and_hostile():
         np.asarray(im)
     )
     assert cont.deserialize(d0).planes[0].block_bits is None
-    # the index costs exactly flags2 + 2 B/block
-    assert len(data) == len(d0) + 1 + 2 * len(p.block_bits)
+    # the index costs exactly flags2 + width byte + the bit-packed
+    # entries at the narrowest per-plane width
+    w_idx, packed_idx = cont.pack_index(p.block_bits)
+    assert len(data) == len(d0) + 1 + 1 + len(packed_idx)
+    assert w_idx == int(p.block_bits.max()).bit_length()
 
     # hostile index: corrupt one entry -> stripe-sum check rejects
     bad = bytearray(data)
@@ -160,7 +163,7 @@ def test_container_v2_roundtrip_and_hostile():
             )
         )
     # same corruption on the wire -> deserialize rejects
-    idx_off = data.index(p.block_bits.astype("<u2").tobytes())
+    idx_off = data.index(packed_idx)
     bad = bytearray(data)
     bad[idx_off] ^= 0x08
     with pytest.raises(ValueError):
@@ -168,9 +171,22 @@ def test_container_v2_roundtrip_and_hostile():
 
     # unknown extension flag bits are rejected, not ignored
     bad2 = bytearray(data)
-    bad2[20] |= 0x02
+    bad2[20] |= 0x04
     with pytest.raises(ValueError):
         cont.deserialize(bytes(bad2))
+
+    # legacy round-4 v2 (raw u16 index, flags2 bit0 only) stays readable
+    legacy = bytearray(d0)
+    legacy[4] = 2  # version
+    legacy[20:20] = bytes([1])  # insert flags2: index present, unpacked
+    # the index sits right after this plane's stripe_bits table
+    p_legacy = cont.deserialize(d0).planes[0]
+    sb_off = len(legacy) - sum(len(s) for s in p_legacy.stripes)
+    legacy[sb_off:sb_off] = p.block_bits.astype("<u2").tobytes()
+    c_legacy = cont.deserialize(bytes(legacy))
+    np.testing.assert_array_equal(
+        c_legacy.planes[0].block_bits, p.block_bits
+    )
 
 
 def test_repair_updates_decode_index(force_device_decode):

@@ -360,7 +360,11 @@ def test_merge_tree_unit():
                 assert not out[g, total:].any(), f"pat={pat} k={k} g={g}"
 
 
-@pytest.mark.parametrize("tier", ["pair_wide", "mid", "mid_wide", "safe"])
+@pytest.mark.parametrize(
+    "tier",
+    ["quad", "pair4", "pair", "pair_wide", "mid4", "mid", "mid_wide",
+     "safe"],
+)
 @pytest.mark.parametrize("quality", [50, 95])
 def test_cold_tiers_match_staged(monkeypatch, quality, tier):
     """Direct byte-identity coverage of the ladder's COLD rungs.
@@ -369,8 +373,9 @@ def test_cold_tiers_match_staged(monkeypatch, quality, tier):
     content always satisfies a cheaper rung first. _LADDER_START drops
     the cheaper rungs at trace time; every rung is correct for any
     content its own condition admits and eligibility is monotone down
-    the ladder, so this pins real execution of pair-wide, mid,
-    mid-wide, and the safe loop."""
+    the ladder, so this pins real execution of every rung below the
+    default-content one, including the round-5 acc4 rungs (pair4/mid4
+    and quad-after-quad4)."""
     from dct_tpu.ops import fused_encode_pallas as fep
 
     monkeypatch.setattr(fep, "_LADDER_START", fep._TIER_INDEX[tier])

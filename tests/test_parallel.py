@@ -133,7 +133,7 @@ class TestBatchStep:
         from dct_tpu.ops import bitstream as bs
 
         for f in range(4):
-            single, _ = codec.encode_step(jnp.asarray(frames[f]), cfg, n_stripes)
+            single = codec.encode_step(jnp.asarray(frames[f]), cfg, n_stripes)[0]
             np.testing.assert_array_equal(
                 np.asarray(packed.bit_lengths)[f], np.asarray(single.bit_lengths)
             )
@@ -241,10 +241,10 @@ class TestPallasUnderShardMap:
         packed = shard_encode.encode_batch_step(
             jnp.asarray(frames), cfg, 8, mesh
         )
-        single, _ = codec.encode_step(
+        single = codec.encode_step(
             jnp.asarray(frames[0]),
             CodecConfig(quality=50, static_tables=True), 8,
-        )
+        )[0]
         np.testing.assert_array_equal(
             np.asarray(packed.bit_lengths)[0], np.asarray(single.bit_lengths)
         )
